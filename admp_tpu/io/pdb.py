@@ -1,0 +1,75 @@
+"""Minimal PDB reader for force-field systems.
+
+Feature parity with reference: admp/parser.py:7-175 (fixed-column ATOM/HETATM
+records, CRYST1 box, CONECT bonds, ORIGX transforms), written as a compact
+column-table parser. Returns plain numpy arrays; serials are re-based to 0..N-1
+in file order (the reference does the same, admp/parser.py:105,137-139).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class PDBData:
+    serials: list
+    names: list
+    res_names: list
+    res_seqs: list
+    positions: np.ndarray
+    charges: list
+    connects: dict
+    box: list  # (a, b, c, alpha, beta, gamma)
+
+    def box_matrix(self) -> np.ndarray:
+        """Orthorhombic box matrix (lattice vectors in rows, Angstrom)."""
+        a, b, c = self.box[:3]
+        return np.diag([a, b, c]).astype(float)
+
+
+def read_pdb(path: str) -> PDBData:
+    names, res_names, res_seqs, charges, positions = [], [], [], [], []
+    connects = {}
+    cellpar = [0.0] * 6
+    orig = np.eye(3)
+    trans = np.zeros(3)
+
+    with open(path) as fh:
+        for line in fh:
+            rec = line[:6]
+            if rec == "CRYST1":
+                cellpar = [
+                    float(line[6:15]), float(line[15:24]), float(line[24:33]),
+                    float(line[33:40]), float(line[40:47]), float(line[47:54]),
+                ]
+            elif rec.startswith("ORIGX"):
+                row = int(rec[5]) - 1
+                orig[row] = [float(line[10:20]), float(line[20:30]), float(line[30:40])]
+                trans[row] = float(line[45:55])
+            elif rec in ("ATOM  ", "HETATM"):
+                names.append(line[12:16].strip())
+                res_names.append(line[17:21].strip())
+                res_seqs.append(int(line[22:26].split()[0]))
+                xyz = np.array(
+                    [float(line[30:38]), float(line[38:46]), float(line[46:54])]
+                )
+                positions.append(orig @ xyz + trans)
+                charge_field = line[79:81].strip() if len(line) > 79 else ""
+                charges.append(charge_field or 0)
+            elif rec == "CONECT":
+                fields = line.split()
+                connects[int(fields[1])] = [int(f) for f in fields[2:]]
+
+    return PDBData(
+        serials=list(range(len(names))),
+        names=names,
+        res_names=res_names,
+        res_seqs=res_seqs,
+        positions=np.vstack(positions),
+        charges=charges,
+        connects=connects,
+        box=cellpar,
+    )

@@ -1,0 +1,219 @@
+"""Fixed-capacity neighbor lists for TPU.
+
+The reference delegates neighbor search to the external jax-md library
+(reference: README.md:27-33, examples/water_1024/run_admp.py:109-112) and then
+filters pairs on host per step (admp/pme.py:671), which forces recompilation
+whenever the pair count changes. Here neighbor lists are first-class and
+TPU-shaped: a fixed capacity is chosen once (with headroom), pairs are stored as
+an (C, 2) int32 array padded with the sentinel index N (identical to jax-md's
+OrderedSparse convention so the two are drop-in interchangeable), and the
+*update* path is a single jit-compiled function with static shapes.
+
+Two strategies:
+  * dense O(N^2) mask + nonzero — simple, exact, fine to ~20k atoms;
+  * cell list (linked via sorted cell ids + fixed neighbor stencil) for large N.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class NeighborList:
+    """Result container. ``pairs[k] = (i, j)`` with i < j for real entries and
+    ``(n, n)`` for padding. ``did_overflow`` signals that capacity was exceeded
+    and the list must be reallocated."""
+
+    pairs: jnp.ndarray
+    did_overflow: jnp.ndarray
+    capacity: int
+    cutoff: float
+
+    @property
+    def idx(self):
+        """jax-md OrderedSparse-style (2, C) index array."""
+        return self.pairs.T
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def _dense_pairs(positions, box, cutoff, capacity):
+    n = positions.shape[0]
+    box_inv = jnp.linalg.inv(box)
+    frac = positions @ box_inv
+    # minimum-image pair distances via fractional wrap
+    ds = frac[:, None, :] - frac[None, :, :]
+    ds = ds - jnp.floor(ds + 0.5)
+    dr = ds @ box
+    r2 = jnp.sum(dr * dr, axis=-1)
+    iu = jnp.triu_indices(n, k=1)
+    within = r2[iu] < cutoff * cutoff
+    n_found = jnp.sum(within)
+    # compact indices of hits, padded with n
+    order = jnp.nonzero(within, size=capacity, fill_value=within.shape[0])[0]
+    ii = jnp.concatenate([iu[0], jnp.array([n])])[
+        jnp.minimum(order, iu[0].shape[0])
+    ]
+    jj = jnp.concatenate([iu[1], jnp.array([n])])[
+        jnp.minimum(order, iu[1].shape[0])
+    ]
+    valid = order < within.shape[0]
+    pairs = jnp.stack(
+        [jnp.where(valid, ii, n), jnp.where(valid, jj, n)], axis=-1
+    ).astype(jnp.int32)
+    return pairs, n_found > capacity
+
+
+def neighbor_list_dense(positions, box, cutoff, capacity=None, padding=1.25):
+    """Allocate a dense-strategy neighbor list (host entry point).
+
+    If ``capacity`` is None it is sized from the current configuration with
+    ``padding`` headroom and rounded up to a multiple of 1024 (shape bucketing
+    keeps recompiles rare).
+    """
+    positions = jnp.asarray(positions)
+    box = jnp.asarray(box)
+    if capacity is None:
+        pairs, _ = _dense_pairs(positions, box, cutoff, positions.shape[0] * 64)
+        n_real = int(jnp.sum(pairs[:, 0] < positions.shape[0]))
+        capacity = int(-(-int(n_real * padding) // 1024) * 1024)
+    pairs, overflow = _dense_pairs(positions, box, cutoff, capacity)
+    return NeighborList(pairs, overflow, capacity, float(cutoff))
+
+
+def update_neighbor_list(nlist: NeighborList, positions, box):
+    """Jit-friendly refresh at fixed capacity."""
+    pairs, overflow = _dense_pairs(positions, box, nlist.cutoff, nlist.capacity)
+    return NeighborList(pairs, overflow, nlist.capacity, nlist.cutoff)
+
+
+# ---------------------------------------------------------------------------
+# Cell-list strategy for large systems
+# ---------------------------------------------------------------------------
+
+
+def _cell_grid(box, cutoff):
+    lengths = np.abs(np.diag(np.asarray(box)))
+    n_cells = np.maximum((lengths // cutoff).astype(int), 1)
+    return tuple(int(c) for c in n_cells)
+
+
+@partial(jax.jit, static_argnames=("n_cells", "cell_capacity", "capacity"))
+def _cell_pairs(positions, box, cutoff, n_cells, cell_capacity, capacity):
+    """Cell-list neighbor search with static shapes.
+
+    Atoms are binned into cells of edge >= cutoff; candidate pairs are atoms in
+    the same or neighboring (27-stencil) cells. All shapes static; overflow of
+    either the per-cell bucket or the pair capacity is reported.
+    """
+    n = positions.shape[0]
+    ncx, ncy, ncz = n_cells
+    n_cell_total = ncx * ncy * ncz
+    box_inv = jnp.linalg.inv(box)
+    frac = positions @ box_inv
+    frac = frac - jnp.floor(frac)
+    cx = jnp.minimum((frac[:, 0] * ncx).astype(jnp.int32), ncx - 1)
+    cy = jnp.minimum((frac[:, 1] * ncy).astype(jnp.int32), ncy - 1)
+    cz = jnp.minimum((frac[:, 2] * ncz).astype(jnp.int32), ncz - 1)
+    cell_id = (cx * ncy + cy) * ncz + cz
+
+    # bucket atoms per cell: (n_cell_total, cell_capacity) of atom ids, pad n
+    order = jnp.argsort(cell_id)
+    sorted_cells = cell_id[order]
+    # rank of atom within its cell
+    rank = jnp.arange(n) - jnp.searchsorted(sorted_cells, sorted_cells, side="left")
+    buckets = jnp.full((n_cell_total, cell_capacity), n, dtype=jnp.int32)
+    in_range = rank < cell_capacity
+    buckets = buckets.at[
+        sorted_cells, jnp.minimum(rank, cell_capacity - 1)
+    ].set(jnp.where(in_range, order.astype(jnp.int32), n))
+    cell_counts = jnp.zeros(n_cell_total, jnp.int32).at[cell_id].add(1)
+    bucket_overflow = jnp.any(cell_counts > cell_capacity)
+
+    # neighbor stencil (27 cells, half to avoid double counting handled by i<j)
+    sx, sy, sz = jnp.meshgrid(
+        jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2), indexing="ij"
+    )
+    stencil = jnp.stack([sx.ravel(), sy.ravel(), sz.ravel()], axis=-1)  # (27, 3)
+
+    my_cell = jnp.stack([cx, cy, cz], axis=-1)  # (n, 3)
+    neigh = my_cell[:, None, :] + stencil[None, :, :]
+    neigh = jnp.stack(
+        [
+            jnp.mod(neigh[..., 0], ncx),
+            jnp.mod(neigh[..., 1], ncy),
+            jnp.mod(neigh[..., 2], ncz),
+        ],
+        axis=-1,
+    )
+    neigh_id = (neigh[..., 0] * ncy + neigh[..., 1]) * ncz + neigh[..., 2]  # (n, 27)
+
+    # candidate partners: (n, 27 * cell_capacity)
+    cand = buckets[neigh_id].reshape(n, -1)
+    pos_pad = jnp.concatenate([positions, jnp.zeros((1, 3), positions.dtype)])
+    dr = pos_pad[cand] - positions[:, None, :]
+    ds = dr @ box_inv
+    ds = ds - jnp.floor(ds + 0.5)
+    dr = ds @ box
+    r2 = jnp.sum(dr * dr, axis=-1)
+    i_ids = jnp.broadcast_to(jnp.arange(n)[:, None], cand.shape)
+    good = (cand > i_ids) & (cand < n) & (r2 < cutoff * cutoff)
+
+    flat_good = good.ravel()
+    n_found = jnp.sum(flat_good)
+    sel = jnp.nonzero(flat_good, size=capacity, fill_value=flat_good.shape[0])[0]
+    valid = sel < flat_good.shape[0]
+    sel_c = jnp.minimum(sel, flat_good.shape[0] - 1)
+    ii = jnp.where(valid, i_ids.ravel()[sel_c], n).astype(jnp.int32)
+    jj = jnp.where(valid, cand.ravel()[sel_c], n).astype(jnp.int32)
+    pairs = jnp.stack([ii, jj], axis=-1)
+    return pairs, (n_found > capacity) | bucket_overflow
+
+
+def neighbor_list_cell(positions, box, cutoff, capacity=None, cell_capacity=None,
+                       padding=1.25):
+    """Allocate a cell-list neighbor list for large systems."""
+    positions = jnp.asarray(positions)
+    box = jnp.asarray(box)
+    n = positions.shape[0]
+    n_cells = _cell_grid(box, cutoff)
+    if min(n_cells) < 3:
+        # a 27-stencil over fewer than 3 cells per axis would visit the same cell
+        # twice and duplicate pairs; the dense path is correct (and cheap) there
+        return neighbor_list_dense(positions, box, cutoff, capacity, padding)
+    n_cell_total = int(np.prod(n_cells))
+    if cell_capacity is None:
+        # size from the actual max cell occupancy (molecules cluster several
+        # atoms per cell; a mean-based guess under-sizes water-like systems)
+        box_inv = np.linalg.inv(np.asarray(box))
+        frac = np.asarray(positions) @ box_inv
+        frac -= np.floor(frac)
+        cid = tuple(
+            np.minimum((frac[:, d] * n_cells[d]).astype(int), n_cells[d] - 1)
+            for d in range(3)
+        )
+        flat = (cid[0] * n_cells[1] + cid[1]) * n_cells[2] + cid[2]
+        max_occ = int(np.bincount(flat).max())
+        cell_capacity = max(int(np.ceil(max_occ * padding)) + 2, 8)
+    if capacity is None:
+        probe = max(n * 16, 1 << 14)
+        pairs, _ = _cell_pairs(positions, box, cutoff, n_cells, cell_capacity, probe)
+        n_real = int(jnp.sum(pairs[:, 0] < n))
+        capacity = int(-(-int(n_real * padding) // 1024) * 1024)
+    for _ in range(8):  # auto-retry: never hand back a silently-truncated list
+        pairs, overflow = _cell_pairs(
+            positions, box, cutoff, n_cells, cell_capacity, capacity
+        )
+        if not bool(overflow):
+            break
+        cell_capacity *= 2
+        capacity *= 2
+    nl = NeighborList(pairs, overflow, capacity, float(cutoff))
+    nl.n_cells = n_cells  # type: ignore[attr-defined]
+    nl.cell_capacity = cell_capacity  # type: ignore[attr-defined]
+    return nl

@@ -1,0 +1,226 @@
+"""Real-space multipolar Ewald: screened interaction tensors and the pair energy.
+
+Feature parity with reference: admp/pme.py:258-475 (coefficients) and
+admp/pme.py:479-729 (kernel + pair expansion), redesigned TPU-first:
+
+* The reference unrolls the quasi-internal-frame contraction channel by channel
+  over ~150 lines (admp/pme.py:525-624). Observing the structure, the pair energy
+  is exactly a bilinear form
+      E_pair = qiQJ^T  T(r)  qiQI
+  where T is a sparse 9x9 matrix whose nonzeros are the screened interaction
+  coefficients: symmetric entries for even-parity couplings (cc, dd, cq, qq) and
+  antisymmetric for odd (cd, dq). The induced-dipole couplings add
+      E_ind = 1/2 qiQJ^T G  qiUI + 1/2 qiQI^T G' qiUJ + qiUJ^T D2 qiUI
+  with G' = G sign-flipped on even-parity rows. The code below evaluates these
+  contractions directly; identical math, a fraction of the code, and pure
+  elementwise VPU work over the pair batch.
+* Everything is fixed-shape and masked: padded / self pairs flow through with
+  sanitized distances and are zeroed in the final sum (no host-side pair
+  filtering as in admp/pme.py:671, which defeats jit).
+
+All inputs are batched over pairs with no vmap needed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.scipy.special import erf
+
+from admp_tpu.utils.constants import DEFAULT_THOLE_WIDTH, DIELECTRIC, SQRT_PI
+
+
+def ewald_screening_b(kr, x):
+    """The bVec screening coefficients b_2..b_4 (reference: admp/pme.py:290-300).
+
+    Closed form: b_l = -erf(kr) + sum_{m=1..l-1} 2^m (kr)^(2m-1) x / (2m-1)!!
+    with x = 2 exp(-(kr)^2)/sqrt(pi).
+    """
+    erf_kr = erf(kr)
+    kr2 = kr * kr
+    kr3 = kr2 * kr
+    kr5 = kr3 * kr2
+    b2 = -erf_kr + kr * x
+    b3 = b2 + 2.0 * kr3 * x / 3.0
+    b4 = b3 + 4.0 * kr5 * x / 15.0
+    return b2, b3, b4
+
+
+def perm_coefficients(r, mscale, kappa, lmax: int):
+    """Screened permanent-multipole interaction coefficients in the QI frame.
+
+    Returns dict with cc, cd, dd_m0, dd_m1, cq, dq_m0, dq_m1, qq_m0, qq_m1, qq_m2
+    (each shaped like ``r``). Parity with reference: admp/pme.py:258-334.
+    """
+    r_inv = 1.0 / r
+    d1 = DIELECTRIC * r_inv
+    d2 = d1 * r_inv
+    d3 = d2 * r_inv
+    d4 = d3 * r_inv
+    d5 = d4 * r_inv
+    kr = kappa * r
+    kr2 = kr * kr
+    kr3 = kr2 * kr
+    kr5 = kr3 * kr2
+    x = 2.0 * jnp.exp(-kr2) / SQRT_PI
+    b2, b3, b4 = ewald_screening_b(kr, x)
+
+    out = {"cc": d1 * (mscale + b2 - kr * x)}
+    if lmax >= 1:
+        out["cd"] = d2 * (mscale + b2)
+        out["dd_m0"] = -2.0 / 3.0 * d3 * (3.0 * (mscale + b3) + kr3 * x)
+        out["dd_m1"] = d3 * (mscale + b3 - (2.0 / 3.0) * kr3 * x)
+    if lmax >= 2:
+        out["cq"] = d3 * (mscale + b3)
+        out["dq_m0"] = d4 * (3.0 * (mscale + b3) + (4.0 / 3.0) * kr5 * x)
+        out["dq_m1"] = -jnp.sqrt(3.0) * d4 * (mscale + b3)
+        out["qq_m0"] = d5 * (
+            6.0 * (mscale + b4) + (4.0 / 45.0) * (-3.0 + 10.0 * kr2) * kr5 * x
+        )
+        out["qq_m1"] = -(4.0 / 15.0) * d5 * (15.0 * (mscale + b4) + kr5 * x)
+        out["qq_m2"] = d5 * (mscale + b4 - (4.0 / 15.0) * kr5 * x)
+    return out
+
+
+def thole_factors(u_scaled):
+    """Thole damping factors (c, d0, d1, q0, q1) given au = a * r / dmp.
+
+    Parity with reference: admp/pme.py:418-432; the exp(-au) overflow clamp at
+    au > 50 becomes a plain where.
+    """
+    au = u_scaled
+    exp_au = jnp.where(au < 50.0, jnp.exp(-jnp.minimum(au, 50.0)), 0.0)
+    au2 = au * au
+    au3 = au2 * au
+    au4 = au3 * au
+    c = 1.0 - exp_au * (1.0 + au + 0.5 * au2)
+    d0 = 1.0 - exp_au * (1.0 + au + 0.5 * au2 + au3 / 4.0)
+    d1 = c
+    q0 = 1.0 - exp_au * (1.0 + au + 0.5 * au2 + au3 / 6.0 + au4 / 18.0)
+    q1 = 1.0 - exp_au * (1.0 + au + 0.5 * au2 + au3 / 6.0)
+    return c, d0, d1, q0, q1
+
+
+def induced_coefficients(r, thole1, thole2, dmp, pscale, kappa, lmax: int):
+    """Screened induced-dipole interaction coefficients.
+
+    Returns dict with cud, dud_m0, dud_m1, udq_m0, udq_m1, udud_m0, udud_m1.
+    Parity with reference: admp/pme.py:379-475. ``uscale`` is fixed to 1 there
+    (admp/pme.py:472) and here.
+    """
+    # Thole width: DEFAULT for real interacting pairs (pscale ~ 0), thole1+thole2
+    # for scaled intramolecular pairs — a Fermi switch on pscale
+    # (reference: admp/pme.py:411, switch_val at :337-348).
+    uu = (pscale - 1e-3) / 1e-5
+    w0 = 1.0 / (jnp.exp(jnp.clip(uu, -60.0, 60.0)) + 1.0)
+    a = w0 * DEFAULT_THOLE_WIDTH + (1.0 - w0) * (thole1 + thole2)
+
+    dmp_safe = jnp.maximum(dmp, 1e-8)
+    u = jnp.minimum(r / dmp_safe, 1e8)
+    tc, td0, td1, tq0, tq1 = thole_factors(a * u)
+
+    r_inv = 1.0 / r
+    d2 = DIELECTRIC * r_inv * r_inv
+    d3 = d2 * r_inv
+    d4 = d3 * r_inv
+    kr = kappa * r
+    kr2 = kr * kr
+    kr3 = kr2 * kr
+    kr5 = kr3 * kr2
+    x = 2.0 * jnp.exp(-kr2) / SQRT_PI
+    b2, b3, _ = ewald_screening_b(kr, x)
+
+    out = {"cud": 2.0 * d2 * (pscale * tc + b2)}
+    if lmax >= 1:
+        out["dud_m0"] = -4.0 / 3.0 * d3 * (3.0 * (pscale * td0 + b3) + kr3 * x)
+        out["dud_m1"] = 2.0 * d3 * (pscale * td1 + b3 - 2.0 / 3.0 * kr3 * x)
+    if lmax >= 2:
+        out["udq_m0"] = 2.0 * d4 * (3.0 * (pscale * tq0 + b3) + 4.0 / 3.0 * kr5 * x)
+        out["udq_m1"] = -2.0 * jnp.sqrt(3.0) * d4 * (pscale * tq1 + b3)
+    # induced-induced, uscale = 1
+    out["udud_m0"] = -2.0 / 3.0 * d3 * (3.0 * (td0 + b3) + kr3 * x)
+    out["udud_m1"] = d3 * (td1 + b3 - 2.0 / 3.0 * kr3 * x)
+    return out
+
+
+def pair_energy_perm(qi_i, qi_j, coef, lmax: int):
+    """Permanent-permanent pair energy: qiQJ^T T qiQI with T as documented above.
+
+    Verified equivalent to the unrolled reference kernel (admp/pme.py:525-624):
+    E = 0.5 (qiQJ . Vij + qiQI . Vji) with Vij = T qiQI, Vji = T^T qiQJ
+    collapses to qiQJ^T T qiQI.
+    """
+    e = coef["cc"] * qi_j[..., 0] * qi_i[..., 0]
+    if lmax >= 1:
+        # antisymmetric charge-dipole: -cd (qj0 qi1 - qj1 qi0)
+        e = e + coef["cd"] * (
+            qi_j[..., 1] * qi_i[..., 0] - qi_j[..., 0] * qi_i[..., 1]
+        )
+        e = e + coef["dd_m0"] * qi_j[..., 1] * qi_i[..., 1]
+        e = e + coef["dd_m1"] * (
+            qi_j[..., 2] * qi_i[..., 2] + qi_j[..., 3] * qi_i[..., 3]
+        )
+    if lmax >= 2:
+        # symmetric charge-quadrupole
+        e = e + coef["cq"] * (
+            qi_j[..., 0] * qi_i[..., 4] + qi_j[..., 4] * qi_i[..., 0]
+        )
+        # antisymmetric dipole-quadrupole
+        e = e + coef["dq_m0"] * (
+            qi_j[..., 1] * qi_i[..., 4] - qi_j[..., 4] * qi_i[..., 1]
+        )
+        e = e + coef["dq_m1"] * (
+            qi_j[..., 2] * qi_i[..., 5]
+            - qi_j[..., 5] * qi_i[..., 2]
+            + qi_j[..., 3] * qi_i[..., 6]
+            - qi_j[..., 6] * qi_i[..., 3]
+        )
+        e = e + coef["qq_m0"] * qi_j[..., 4] * qi_i[..., 4]
+        e = e + coef["qq_m1"] * (
+            qi_j[..., 5] * qi_i[..., 5] + qi_j[..., 6] * qi_i[..., 6]
+        )
+        e = e + coef["qq_m2"] * (
+            qi_j[..., 7] * qi_i[..., 7] + qi_j[..., 8] * qi_i[..., 8]
+        )
+    return e
+
+
+def pair_energy_induced(qi_i, qi_j, ui, uj, icoef, lmax: int):
+    """Induced-dipole contributions to the pair energy.
+
+    E_ind = 1/2 [ qiQJ . (G ui) + qiQI . (G' uj) ] + uj . (D2 ui)
+    with G rows (charge, dip_z, dip_x, dip_y, quad...) as documented in the
+    module docstring. Parity with the lpol branches of reference:
+    admp/pme.py:527-607,621-624.
+    """
+    # qiQJ^T G ui : rows with even-parity source (charge/quad) carry -ui coupling
+    e_ju = -icoef["cud"] * qi_j[..., 0] * ui[..., 0]
+    e_iu = icoef["cud"] * qi_i[..., 0] * uj[..., 0]
+    if lmax >= 1:
+        e_ju = e_ju + icoef["dud_m0"] * qi_j[..., 1] * ui[..., 0] + icoef[
+            "dud_m1"
+        ] * (qi_j[..., 2] * ui[..., 1] + qi_j[..., 3] * ui[..., 2])
+        e_iu = e_iu + icoef["dud_m0"] * qi_i[..., 1] * uj[..., 0] + icoef[
+            "dud_m1"
+        ] * (qi_i[..., 2] * uj[..., 1] + qi_i[..., 3] * uj[..., 2])
+    if lmax >= 2:
+        e_ju = e_ju - icoef["udq_m0"] * qi_j[..., 4] * ui[..., 0] - icoef[
+            "udq_m1"
+        ] * (qi_j[..., 5] * ui[..., 1] + qi_j[..., 6] * ui[..., 2])
+        e_iu = e_iu + icoef["udq_m0"] * qi_i[..., 4] * uj[..., 0] + icoef[
+            "udq_m1"
+        ] * (qi_i[..., 5] * uj[..., 1] + qi_i[..., 6] * uj[..., 2])
+    e_uu = icoef["udud_m0"] * uj[..., 0] * ui[..., 0] + icoef["udud_m1"] * (
+        uj[..., 1] * ui[..., 1] + uj[..., 2] * ui[..., 2]
+    )
+    return 0.5 * (e_ju + e_iu) + e_uu
+
+
+def pair_damping_width(pol_i, pol_j):
+    """Thole distance rescaling (pol_i pol_j)^(1/6), reference: admp/pme.py:732-735.
+
+    The product is clamped at 1e-48 so the width bottoms out at 1e-8 — the same
+    floor the reference applies post-hoc via trim_val_0 (admp/pme.py:413,362) —
+    while keeping the gradient finite for zero-polarizability sites.
+    """
+    prod = jnp.maximum(pol_i * pol_j, 1e-48)
+    return prod ** (1.0 / 6.0)

@@ -1,0 +1,213 @@
+"""Reciprocal-space PME: B-spline multipole spreading, 3D FFT, influence convolution.
+
+Feature parity with reference: admp/recip.py:21-431, redesigned for TPU/XLA:
+
+* Spline weights are evaluated once per dimension per stencil offset (see
+  ops/bsplines.py) and combined with outer products, instead of 216 piecewise
+  evaluations per atom (reference: admp/recip.py:239-241).
+* The spherical-harmonic gradient operators (reference: admp/recip.py:215-275)
+  are built from separable per-dimension derivative products — the whole
+  spread tensor is a short sum of rank-1-per-dimension terms.
+* k-space bookkeeping (integer frequencies, Euler factors, k^2) is computed on
+  3D broadcast grids matching the fftn layout by construction, instead of the
+  roll/meshgrid permutation dance (reference: admp/recip.py:332-365).
+* The gamma point is handled with a closed-form C(0), keeping gradients NaN-free.
+* The chain rule du/dx uses the general (non-orthorhombic-safe) transpose; for
+  diagonal boxes it is identical to the reference.
+
+The energy is  E = sum_k C(|k|^2) |S_k|^2 / theta_k^2   (Parseval form,
+reference: admp/recip.py:413-426), with S_k = FFT(Q_mesh).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from admp_tpu.ops import bsplines
+
+RT3 = 1.7320508075688772
+
+
+def mesh_coordinates(positions, box, grid_shape):
+    """Map positions to mesh space.
+
+    Returns:
+      m_u0: (N, 3) int32 index of the reference mesh point (ceil of the scaled
+        fractional coordinate, reference: admp/recip.py:76).
+      u0: (N, 3) fractional offsets in [3, 4) (order/2 shifted).
+      dug_dx: (3, 3) Jacobian d(u)/d(x) (u_j rows, x_c cols): N_j * invbox[c, j].
+    """
+    n = jnp.asarray(grid_shape, dtype=positions.dtype)
+    box_inv = jnp.linalg.inv(box)
+    # u-grid coordinate i of atom a: N_i * (x @ box_inv)_i
+    r_in_m = (positions @ box_inv) * n
+    m_u0 = jnp.ceil(r_in_m).astype(jnp.int32)
+    u0 = (m_u0 - r_in_m) + bsplines.ORDER / 2
+    dug_dx = (box_inv * n[None, :]).T  # [j, c] = N_j invbox[c, j]
+    return m_u0, u0, dug_dx
+
+
+def spread_weights(u0, dug_dx, lmax: int):
+    """Per-atom spread weights for each harmonic channel on the 6x6x6 stencil.
+
+    Returns (N, 6, 6, 6, n_harm) where n_harm = (lmax+1)**2 and the stencil axes
+    follow offsets (k1-3, k2-3, k3-3) for k in 0..5.
+
+    Channels (matching reference: admp/recip.py:249-271):
+      l=0: theta
+      l=1: (d theta/dz, /dx, /dy)       [harmonic z,x,y order]
+      l=2: ((3 Hzz - tr H)/2, rt3 Hxz, rt3 Hyz, rt3/2 (Hxx - Hyy), rt3 Hxy)
+    where H is the Cartesian Hessian of theta. Note u = m_u0 - N s + 3, so
+    d theta/dx = - sum_j (d theta/du_j) dug_dx[j, :] and the Hessian picks up
+    two minus signs (none net).
+    """
+    m = bsplines.spline_values(u0)  # (N, 6, 3)
+    mx, my, mz = m[..., 0], m[..., 1], m[..., 2]
+    theta = jnp.einsum("ai,aj,ak->aijk", mx, my, mz)
+    outs = [theta[..., None]]
+
+    if lmax >= 1:
+        d = bsplines.spline_derivs(u0)
+        dx_, dy_, dz_ = d[..., 0], d[..., 1], d[..., 2]
+        # d theta / du_j, separable products
+        g_u = jnp.stack(
+            [
+                jnp.einsum("ai,aj,ak->aijk", dx_, my, mz),
+                jnp.einsum("ai,aj,ak->aijk", mx, dy_, mz),
+                jnp.einsum("ai,aj,ak->aijk", mx, my, dz_),
+            ],
+            axis=-1,
+        )  # (N, 6,6,6, 3) over u axes
+        # Cartesian gradient: -g_u @ dug_dx  -> (N,6,6,6,3) over x,y,z
+        g_x = -jnp.einsum("...j,jc->...c", g_u, dug_dx)
+        outs.append(jnp.stack([g_x[..., 2], g_x[..., 0], g_x[..., 1]], axis=-1))
+
+    if lmax >= 2:
+        d2 = bsplines.spline_derivs2(u0)
+        d2x, d2y, d2z = d2[..., 0], d2[..., 1], d2[..., 2]
+        # upper-triangular second derivatives in u space
+        h_uu = jnp.stack(
+            [
+                jnp.einsum("ai,aj,ak->aijk", d2x, my, mz),   # (0,0)
+                jnp.einsum("ai,aj,ak->aijk", dx_, dy_, mz),  # (0,1)
+                jnp.einsum("ai,aj,ak->aijk", dx_, my, dz_),  # (0,2)
+                jnp.einsum("ai,aj,ak->aijk", mx, d2y, mz),   # (1,1)
+                jnp.einsum("ai,aj,ak->aijk", mx, dy_, dz_),  # (1,2)
+                jnp.einsum("ai,aj,ak->aijk", mx, my, d2z),   # (2,2)
+            ],
+            axis=-1,
+        )
+        iu, ju = np.triu_indices(3)
+        full = jnp.zeros(h_uu.shape[:-1] + (3, 3), h_uu.dtype)
+        full = full.at[..., iu, ju].set(h_uu)
+        full = full.at[..., ju, iu].set(h_uu)
+        # H_xcd = dug_dx[j,c] dug_dx[l,d] * h_uu[j,l]
+        h_xx = jnp.einsum("jc,ld,...jl->...cd", dug_dx, dug_dx, full)
+        trace = h_xx[..., 0, 0] + h_xx[..., 1, 1] + h_xx[..., 2, 2]
+        outs.append(
+            jnp.stack(
+                [
+                    (3.0 * h_xx[..., 2, 2] - trace) / 2.0,
+                    RT3 * h_xx[..., 0, 2],
+                    RT3 * h_xx[..., 1, 2],
+                    RT3 / 2.0 * (h_xx[..., 0, 0] - h_xx[..., 1, 1]),
+                    RT3 * h_xx[..., 0, 1],
+                ],
+                axis=-1,
+            )
+        )
+
+    return jnp.concatenate(outs, axis=-1)
+
+
+def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int):
+    """Spread harmonic multipoles onto the (K1, K2, K3) charge mesh.
+
+    Quadrupole channels carry the 1/3 prefactor of the MPID convention
+    (reference: admp/recip.py:300-310).
+    """
+    k1, k2, k3 = grid_shape
+    m_u0, u0, dug_dx = mesh_coordinates(positions, box, grid_shape)
+    weights = spread_weights(u0, dug_dx, lmax)  # (N,6,6,6,H)
+
+    q = q_harm[:, : (lmax + 1) ** 2]
+    if lmax >= 2:
+        q = jnp.concatenate([q[:, :4], q[:, 4:9] / 3.0], axis=-1)
+    q_points = jnp.einsum("ah,aijkh->aijk", q, weights)  # (N,6,6,6)
+
+    offsets = jnp.arange(-3, 3)
+    idx1 = jnp.mod(m_u0[:, 0:1] + offsets[None, :], k1)  # (N,6)
+    idx2 = jnp.mod(m_u0[:, 1:2] + offsets[None, :], k2)
+    idx3 = jnp.mod(m_u0[:, 2:3] + offsets[None, :], k3)
+
+    mesh = jnp.zeros((k1, k2, k3), dtype=q_points.dtype)
+    mesh = mesh.at[
+        idx1[:, :, None, None], idx2[:, None, :, None], idx3[:, None, None, :]
+    ].add(q_points)
+    return mesh
+
+
+def _fft_int_freqs(n: int):
+    """Integer FFT frequencies [0, 1, ..., -1] matching fftn output layout."""
+    return jnp.where(
+        jnp.arange(n) <= n // 2 - (1 - n % 2), jnp.arange(n), jnp.arange(n) - n
+    )
+
+
+def k_space_grids(box, grid_shape, dtype):
+    """Return (ksq, theta_k_sq) broadcast grids of shape grid_shape."""
+    k1, k2, k3 = grid_shape
+    box_inv = jnp.linalg.inv(box).astype(dtype)
+    f1 = _fft_int_freqs(k1).astype(dtype)
+    f2 = _fft_int_freqs(k2).astype(dtype)
+    f3 = _fft_int_freqs(k3).astype(dtype)
+    # k_cart[c] = 2 pi sum_i f_i * box_inv[i, c]
+    kvec = (
+        f1[:, None, None, None] * box_inv[0][None, None, None, :]
+        + f2[None, :, None, None] * box_inv[1][None, None, None, :]
+        + f3[None, None, :, None] * box_inv[2][None, None, None, :]
+    ) * (2.0 * jnp.pi)
+    ksq = jnp.sum(kvec * kvec, axis=-1)
+
+    t1 = bsplines.euler_spline_theta(f1, k1)
+    t2 = bsplines.euler_spline_theta(f2, k2)
+    t3 = bsplines.euler_spline_theta(f3, k3)
+    theta_k = t1[:, None, None] * t2[None, :, None] * t3[None, None, :]
+    return ksq, theta_k * theta_k
+
+
+def convolve_energy(mesh, box, kappa, ck_fn, include_gamma: bool, prefactor=1.0):
+    """E = prefactor * sum_k C(k^2) |S_k|^2 / theta_k^2."""
+    grid_shape = mesh.shape
+    volume = jnp.linalg.det(box)
+    ksq, theta_sq = k_space_grids(box, grid_shape, mesh.dtype)
+    s_k = jnp.fft.fftn(mesh)
+    s_sq = jnp.real(s_k * jnp.conj(s_k))
+
+    nonzero = ksq > 0.0
+    ksq_safe = jnp.where(nonzero, ksq, 1.0)
+    c_k = jnp.where(nonzero, ck_fn(ksq_safe, kappa, volume), 0.0)
+    energy = jnp.sum(c_k * s_sq / theta_sq)
+    if include_gamma:
+        c0 = ck_fn.at_zero(kappa, volume)
+        energy = energy + c0 * s_sq[0, 0, 0] / theta_sq[0, 0, 0]
+    return prefactor * energy
+
+
+def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0):
+    """Build a reciprocal-space energy function (positions, box, Q) -> energy.
+
+    Matches the reference factory generate_pme_recip (admp/recip.py:21) with
+    pme_order fixed at 6 (the only order the reference implements).
+    """
+    grid_shape = tuple(int(k) for k in grid_shape)
+
+    def pme_recip(positions, box, q_harm):
+        mesh = spread_to_mesh(positions, box, q_harm, grid_shape, lmax)
+        return convolve_energy(mesh, box, kappa, ck_fn, include_gamma, prefactor)
+
+    return pme_recip

@@ -1,0 +1,188 @@
+"""Sharded multipolar PME: atom/pair/grid parallelism over a device mesh.
+
+The reference has no parallelism of any kind (no pmap/shard_map/psum anywhere —
+see SURVEY.md section 2); this module is the scale-out layer designed for TPU
+pods:
+
+* pair-parallel real space: the padded pair list is sharded across the mesh
+  axis; positions (small) stay replicated; partial energies are psum-reduced.
+* atom-parallel spreading: each device spreads its atom block onto a private
+  full-size mesh which is immediately reduce-scattered (psum_scatter) into grid
+  slabs — no device ever holds more than (K1/P) of the reduced grid.
+* grid-parallel FFT: pencil-decomposed 3D FFT (parallel/fft.py) with a single
+  all_to_all transpose; the influence-function multiply happens in the
+  transposed layout so no back-transpose is needed (Parseval energy is
+  layout-independent).
+* everything lives inside one ``shard_map`` and is reverse-mode differentiable:
+  gradients of psum/all_to_all are collectives, so forces shard identically.
+
+Composable with a data-parallel outer axis for batched configurations
+(fitting workloads): see ``make_sharded_batch_energy``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from admp_tpu.models.pme import pme_real_energy
+from admp_tpu.ops import bsplines
+from admp_tpu.ops.frames import construct_local_frames
+from admp_tpu.ops.harmonics import rot_local2global
+from admp_tpu.ops.reciprocal import _fft_int_freqs, spread_to_mesh
+from admp_tpu.ops.selfenergy import pme_self_energy
+from admp_tpu.parallel.fft import fft3d_pencil
+from admp_tpu.utils.constants import DIELECTRIC
+
+
+def _sharded_recip_energy(positions, box, q_tot, grid_shape, kappa, lmax,
+                          ck_fn, include_gamma, prefactor, axis_name, n_dev):
+    """Reciprocal-space energy with atom-sharded spreading + pencil FFT.
+
+    Runs inside shard_map over ``axis_name``. Returns the (replicated) total.
+    """
+    n = positions.shape[0]
+    k1, k2, k3 = grid_shape
+    n_local = n // n_dev
+    dev = jax.lax.axis_index(axis_name)
+
+    pos_loc = jax.lax.dynamic_slice_in_dim(positions, dev * n_local, n_local)
+    q_loc = jax.lax.dynamic_slice_in_dim(q_tot, dev * n_local, n_local)
+    mesh_full = spread_to_mesh(pos_loc, box, q_loc, grid_shape, lmax)
+    # reduce + scatter into slabs along the leading grid axis
+    slab = jax.lax.psum_scatter(
+        mesh_full, axis_name, scatter_dimension=0, tiled=True
+    )  # (K1/P, K2, K3)
+
+    s_k = fft3d_pencil(slab, axis_name)  # (K1, K2/P, K3) transposed pencils
+
+    # k-space grids for the local transposed slab
+    dtype = slab.dtype
+    box_inv = jnp.linalg.inv(box).astype(dtype)
+    f1 = _fft_int_freqs(k1).astype(dtype)
+    k2_local = k2 // n_dev
+    f2 = _fft_int_freqs(k2).astype(dtype)
+    f2 = jax.lax.dynamic_slice_in_dim(f2, dev * k2_local, k2_local)
+    f3 = _fft_int_freqs(k3).astype(dtype)
+    kvec = (
+        f1[:, None, None, None] * box_inv[0][None, None, None, :]
+        + f2[None, :, None, None] * box_inv[1][None, None, None, :]
+        + f3[None, None, :, None] * box_inv[2][None, None, None, :]
+    ) * (2.0 * jnp.pi)
+    ksq = jnp.sum(kvec * kvec, axis=-1)
+    t1 = bsplines.euler_spline_theta(f1, k1)
+    t2 = bsplines.euler_spline_theta(f2, k2)
+    t3 = bsplines.euler_spline_theta(f3, k3)
+    theta_sq = (t1[:, None, None] * t2[None, :, None] * t3[None, None, :]) ** 2
+
+    volume = jnp.linalg.det(box)
+    s_sq = jnp.real(s_k * jnp.conj(s_k))
+    nonzero = ksq > 0.0
+    ksq_safe = jnp.where(nonzero, ksq, 1.0)
+    c_k = jnp.where(nonzero, ck_fn(ksq_safe, kappa, volume), 0.0)
+    energy = jnp.sum(c_k * s_sq / theta_sq)
+    if include_gamma:
+        # only the device owning k2-chunk 0 holds the gamma point
+        gamma_here = (dev == 0).astype(dtype)
+        c0 = ck_fn.at_zero(kappa, volume)
+        energy = energy + gamma_here * c0 * s_sq[0, 0, 0] / theta_sq[0, 0, 0]
+    return prefactor * jax.lax.psum(energy, axis_name)
+
+
+def _make_local_energy(axis_name, n_dev, grid_shape, kappa, lmax,
+                       axis_types, axis_indices, covalent_map):
+    """Per-device energy body (to be wrapped in shard_map over axis_name)."""
+    from admp_tpu.ops.influence import ck_1
+
+    axis_types = jnp.asarray(axis_types)
+    axis_indices = jnp.asarray(axis_indices)
+    covalent_map = jnp.asarray(covalent_map)
+    grid_shape = tuple(int(k) for k in grid_shape)
+
+    def _local(positions, box, pairs_local, q_local, m_scales):
+        frames = construct_local_frames(positions, box, axis_types, axis_indices)
+        q_global = rot_local2global(q_local, frames, lmax)
+        e_real = pme_real_energy(
+            positions, box, pairs_local, q_global, None, None, None,
+            m_scales, None, covalent_map, kappa, lmax, False,
+        )
+        e_real = jax.lax.psum(e_real, axis_name)
+        e_recip = _sharded_recip_energy(
+            positions, box, q_global, grid_shape, kappa, lmax,
+            ck_1, False, DIELECTRIC, axis_name, n_dev,
+        )
+        e_self = pme_self_energy(q_global, kappa, lmax)
+        return e_real + e_recip + e_self
+
+    return _local
+
+
+def make_sharded_pme_energy(
+    mesh: Mesh,
+    axis_name: str,
+    *,
+    grid_shape,
+    kappa,
+    lmax: int,
+    axis_types,
+    axis_indices,
+    covalent_map,
+):
+    """Build a fixed-multipole PME energy function sharded over ``axis_name``.
+
+    Requirements: n_atoms, pair capacity, K1 and K2 all divisible by the mesh
+    axis size (pad to fit — padding atoms/pairs are masked anyway).
+
+    Returns energy_fn(positions, box, pairs, q_local, m_scales) -> scalar,
+    jit-compatible and differentiable; ``pairs`` is consumed sharded along its
+    leading axis, everything else replicated.
+    """
+    local = _make_local_energy(
+        axis_name, mesh.shape[axis_name], grid_shape, kappa, lmax,
+        axis_types, axis_indices, covalent_map,
+    )
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name, None), P(), P()),
+        out_specs=P(),
+    )
+
+
+def make_sharded_batch_energy(mesh: Mesh, data_axis: str, model_axis: str, **kw):
+    """Data-parallel batches of configurations on top of the model-sharded
+    energy: positions (B, N, 3) and pairs (B, C, 2) sharded over ``data_axis``,
+    each batch element model-sharded over ``model_axis``. One shard_map over
+    both mesh axes; the model collectives run inside a vmap over the local
+    batch block.
+    """
+    local = _make_local_energy(
+        model_axis, mesh.shape[model_axis], kw["grid_shape"], kw["kappa"],
+        kw["lmax"], kw["axis_types"], kw["axis_indices"], kw["covalent_map"],
+    )
+
+    def _local_batch(positions_b, box, pairs_b, q_local, m_scales):
+        # sequential over the local batch block: keeps every FFT a plain 3D
+        # transform with canonical layout (XLA:CPU's fft kernel rejects the
+        # transposed layouts a vmapped backward pass produces), and batch
+        # elements are large enough that serializing them costs nothing
+        return jax.lax.map(
+            lambda args: local(args[0], box, args[1], q_local, m_scales),
+            (positions_b, pairs_b),
+        )
+
+    return jax.shard_map(
+        _local_batch,
+        mesh=mesh,
+        in_specs=(
+            P(data_axis, None, None),
+            P(),
+            P(data_axis, model_axis, None),
+            P(),
+            P(),
+        ),
+        out_specs=P(data_axis),
+    )

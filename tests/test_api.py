@@ -1,0 +1,105 @@
+"""End-to-end tests of the OpenMM-free Hamiltonian front-end
+(reference surface: admp/api.py + examples/openmm_api/run.py)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from admp_tpu import neighbor_list_dense
+from admp_tpu.api import Hamiltonian
+from admp_tpu.systems import water_lattice
+
+FF_XML = "/root/reference/examples/openmm_api/forcefield.xml"
+
+
+def _write_small_pdb(path, positions, box):
+    names = ["O", "H1", "H2"]
+    with open(path, "w") as fh:
+        fh.write("REMARK  synthetic water box\n")
+        fh.write(
+            "CRYST1%9.3f%9.3f%9.3f%7.2f%7.2f%7.2f P 1           1\n"
+            % (box[0, 0], box[1, 1], box[2, 2], 90, 90, 90)
+        )
+        for i, p in enumerate(positions):
+            fh.write(
+                "HETATM%5d %-4s HOH A%4d    %8.3f%8.3f%8.3f  1.00  0.00"
+                "           %s\n"
+                % (i + 1, names[i % 3], i // 3 + 1, p[0], p[1], p[2],
+                   names[i % 3][0])
+            )
+        fh.write("END\n")
+
+
+@pytest.fixture(scope="module")
+def small_case(tmp_path_factory):
+    if not os.path.exists(FF_XML):
+        pytest.skip("reference forcefield.xml not available")
+    positions, box = water_lattice(n_side=2, spacing=3.1, jitter=0.1, seed=2)
+    pdb = tmp_path_factory.mktemp("api") / "small.pdb"
+    _write_small_pdb(pdb, positions, box)
+    ham = Hamiltonian(FF_XML)
+    ham.getGenerators()[1].ref_dip = ""
+    pots = ham.createPotential(str(pdb), nonbondedCutoff=4.0)
+    nlist = neighbor_list_dense(positions, box, 4.0)
+    return dict(
+        ham=ham, pots=pots, pairs=jnp.asarray(nlist.pairs),
+        positions=jnp.asarray(positions), box=jnp.asarray(box),
+    )
+
+
+def test_xml_parsing(small_case):
+    gens = small_case["ham"].getGenerators()
+    assert [type(g).__name__ for g in gens] == [
+        "ADMPDispGenerator", "ADMPPmeGenerator"
+    ]
+    disp, pme = gens
+    np.testing.assert_allclose(
+        np.asarray(disp.params["mScales"]), [0, 0, 0, 1, 1]
+    )
+    assert pme.lmax == 2 and pme.pmax == 10 and pme.lpol
+    # multipoles parsed from the <Atom c0=...> schema
+    q = np.asarray(pme.params["Q_local"])
+    assert abs(q[0, 0] + 1.0614) < 1e-12 and abs(q[1, 0] - 0.5307) < 1e-12
+    np.testing.assert_allclose(np.asarray(pme.params["pol"])[0], 0.88)
+
+
+def test_dispersion_potential_and_param_grad(small_case):
+    pot = small_case["pots"][0]
+    gen = small_case["ham"].getGenerators()[0]
+    e = pot(
+        small_case["positions"], small_case["box"], small_case["pairs"],
+        gen.params,
+    )
+    assert np.isfinite(float(e))
+    grads = jax.grad(pot, argnums=3)(
+        small_case["positions"], small_case["box"], small_case["pairs"],
+        gen.params,
+    )
+    assert set(grads) == set(gen.params)
+    # water topology: 1-2 and 1-3 exclusions active, plus the distant-pair
+    # slot (last entry, via the reference's nbonds-1 negative-index trick)
+    ms = np.asarray(grads["mScales"])
+    assert ms[0] != 0 and ms[1] != 0 and ms[2] == 0 and ms[3] == 0 and ms[4] != 0
+    assert np.all(np.isfinite(np.asarray(grads["C6"])))
+
+
+def test_polarizable_potential_and_param_grad(small_case):
+    pot = small_case["pots"][1]
+    gen = small_case["ham"].getGenerators()[1]
+    e = pot(
+        small_case["positions"], small_case["box"], small_case["pairs"],
+        gen.params,
+    )
+    assert np.isfinite(float(e)) and float(e) != 0.0
+    assert bool(gen.pme_force.lconverg)
+    grads = jax.grad(pot, argnums=3)(
+        small_case["positions"], small_case["box"], small_case["pairs"],
+        gen.params,
+    )
+    # exact polarizability gradients through the SCF (implicit VJP)
+    gpol = np.asarray(grads["pol"])
+    assert np.any(gpol[0::3] != 0.0)
+    assert np.all(np.isfinite(np.asarray(grads["Q_local"])))

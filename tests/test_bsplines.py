@@ -1,0 +1,75 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+
+from admp_tpu.ops import bsplines
+
+
+def _b6_reference(u):
+    """Direct divided-difference cardinal B-spline of order 6 (numpy)."""
+    from math import comb, factorial
+
+    u = np.asarray(u, dtype=float)
+    out = np.zeros_like(u)
+    for j in range(7):
+        term = (-1.0) ** j * comb(6, j) * np.clip(u - j, 0.0, None) ** 5
+        out += term
+    return out / factorial(5)
+
+
+def test_piece_polynomials_match_divided_difference():
+    rng = np.random.default_rng(0)
+    u0 = rng.uniform(3.0, 4.0, (64, 3))
+    vals = np.asarray(bsplines.spline_values(jnp.asarray(u0)))
+    for k in range(6):
+        npt.assert_allclose(vals[:, k, :], _b6_reference(u0 + k - 3), atol=1e-12)
+
+
+def test_partition_of_unity():
+    rng = np.random.default_rng(1)
+    u0 = rng.uniform(3.0, 4.0, (128, 3))
+    vals = np.asarray(bsplines.spline_values(jnp.asarray(u0)))
+    npt.assert_allclose(vals.sum(axis=1), 1.0, atol=1e-12)
+
+
+def test_derivative_consistency():
+    u0 = jnp.asarray(np.random.default_rng(2).uniform(3.0, 4.0, (8, 3)))
+
+    def val_k(u, k, d):
+        return bsplines.spline_values(u)[..., k, d]
+
+    for k in (0, 2, 5):
+        g_auto = jax.grad(lambda u: jnp.sum(val_k(u, k, 1)))(u0)[..., 1]
+        g_table = bsplines.spline_derivs(u0)[..., k, 1]
+        npt.assert_allclose(np.asarray(g_auto), np.asarray(g_table), atol=1e-12)
+
+    for k in (1, 3):
+        h_auto = jax.grad(
+            lambda u: jnp.sum(bsplines.spline_derivs(u)[..., k, 0])
+        )(u0)[..., 0]
+        h_table = bsplines.spline_derivs2(u0)[..., k, 0]
+        npt.assert_allclose(np.asarray(h_auto), np.asarray(h_table), atol=1e-12)
+
+
+def test_knot_values():
+    # B6 at integer knots 1..5, used by the closed-form Euler factor
+    vals = np.asarray(
+        bsplines.spline_values(jnp.full((1, 3), 3.0))
+    )[0, :, 0]
+    # piece k evaluated at its left edge u = k equals B6(k); B6(0) = 0
+    npt.assert_allclose(vals[0], 0.0, atol=1e-14)
+    npt.assert_allclose(vals[1:], bsplines.B6_KNOTS, atol=1e-14)
+
+
+def test_euler_spline_matches_direct_sum():
+    n = 24
+    k = jnp.arange(n, dtype=jnp.float64)
+    direct = np.zeros(n)
+    for m in (-2, -1, 0, 1, 2):
+        direct += _b6_reference(np.array([m + 3.0]))[0] * np.cos(
+            2 * np.pi * m * np.asarray(k) / n
+        )
+    npt.assert_allclose(
+        np.asarray(bsplines.euler_spline_theta(k, n)), direct, atol=1e-12
+    )

@@ -1,0 +1,147 @@
+"""Regression tests on the reference's shipped water_1024 box.
+
+IMPORTANT — provenance of the pinned values below. The reference repo ships
+golden scalars in examples/water_1024/ref_out (-133.75 / 54660.043 / 221523.0),
+but those numbers are NOT reproducible from the shipped inputs *by the
+reference implementation itself*: running the reference code (admp/pme.py,
+admp/disp_pme.py, admp/pairwise.py) on the shipped water1024.pdb +
+mpidwater.xml with the documented settings (rc=4, ethresh=1e-4,
+kappa=0.657065221219616, K=154 from the pre-override kappa) yields
+    electrostatics  +148.2033555...   (cutoff-converged: +148.3620 at rc=10)
+    dispersion PME  +70104.2203354...
+    Tang-Toennies   +48122.4876470...
+The Tang-Toennies sum in particular is exponentially short-ranged and
+cutoff-insensitive beyond ~3 A, so NO pair list can produce 221523.0 from the
+shipped coordinates — the ref_out values evidently come from a different
+(liquid-density, ~31.3 A box: 1024 waters at 1 g/cc) configuration that is not
+in the repository. (The shipped box is 50 A, ~0.25 g/cc; the shipped
+polarizable configuration even makes the reference's own Jacobi SCF diverge.)
+
+The pinned values below were therefore produced by executing the reference
+implementation in-process on the shipped inputs (double precision, CPU) and are
+cross-checked live against the reference code in test_reference_parity.py.
+Physics self-consistency (kappa/grid invariance, net-force neutrality,
+finite-difference forces) is tested in test_forces.py / here.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from admp_tpu import (
+    ADMPDispPmeForce,
+    ADMPPmeForce,
+    convert_cart2harm,
+    generate_pairwise_interaction,
+    neighbor_list_dense,
+    tt_damping_qq_c6_kernel,
+)
+
+KAPPA_MPID = 0.657065221219616
+RC = 4.0
+ETHRESH = 1e-4
+
+M_SCALES = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0])
+
+# Reference-implementation results on the shipped inputs (see module docstring).
+REF_ELECTRO = 148.20335554
+REF_DISP = 70104.22033544
+REF_TT = 48122.48764703
+
+
+def water_tt_disp_params(n_atoms):
+    """Per-atom dispersion C-coefficients and TT parameters for MPID water
+    (the constants the reference drivers hardcode,
+    examples/water_1024/run_admp.py:66-97)."""
+    nmol = n_atoms // 3
+    c = np.tile(
+        np.array(
+            [
+                [37.19677405, 85.26810658, 134.44874488],
+                [7.6111103, 11.90220148, 15.05074749],
+                [7.6111103, 11.90220148, 15.05074749],
+            ]
+        ),
+        (nmol, 1),
+    )
+    q = np.tile([-0.741706, 0.370853, 0.370853], nmol)
+    b = np.tile([2.00095977, 1.999519942, 1.999519942], nmol)
+    a = np.tile([458.3777, 0.0317, 0.0317], nmol)
+    return jnp.asarray(c), jnp.asarray(a), jnp.asarray(b), jnp.asarray(q)
+
+
+@pytest.fixture(scope="module")
+def pairs1024(water1024):
+    nlist = neighbor_list_dense(water1024.positions, water1024.box, RC)
+    return jnp.asarray(nlist.pairs)
+
+
+def test_system_assembly(water1024):
+    sys = water1024
+    assert sys.n_atoms == 3072
+    np.testing.assert_allclose(np.diag(sys.box), 50.0)
+    # O is Bisector (kz=-381 kx=-381), H is ZThenX
+    assert set(np.asarray(sys.axis_types[0::3])) == {1}
+    assert set(np.asarray(sys.axis_types[1::3])) == {0}
+    # O anchored on its two H's; first H anchored on O then other H
+    np.testing.assert_array_equal(np.asarray(sys.axis_indices[0]), [1, 2, -1])
+    np.testing.assert_array_equal(np.asarray(sys.axis_indices[1]), [0, 2, -1])
+    # covalent distances within one water: O-H 1, H-H 2
+    cov = np.asarray(sys.covalent_map)
+    assert cov[0, 1] == 1 and cov[0, 2] == 1 and cov[1, 2] == 2
+    assert cov[0, 3] == 0
+
+
+def test_electrostatic_regression(water1024, pairs1024):
+    sys = water1024
+    q_local = convert_cart2harm(jnp.asarray(sys.q_cart), 2)
+    force = ADMPPmeForce(
+        jnp.asarray(sys.box), sys.axis_types, sys.axis_indices,
+        sys.covalent_map, RC, ETHRESH, lmax=2,
+    )
+    assert force.K1 == 154  # grid chosen with the pre-override kappa
+    force.update_env("kappa", KAPPA_MPID)
+    energy, forces = force.get_forces(
+        jnp.asarray(sys.positions), jnp.asarray(sys.box), pairs1024,
+        q_local, M_SCALES,
+    )
+    np.testing.assert_allclose(float(energy), REF_ELECTRO, atol=1e-5)
+    assert np.all(np.isfinite(np.asarray(forces)))
+    # Net force vanishes up to mesh discretization error (B-spline PME breaks
+    # exact translation invariance at the interpolation-error level; the
+    # real-space part is pairwise and cancels exactly).
+    force_scale = float(jnp.sqrt(jnp.mean(forces**2)))
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(forces, axis=0)) / force_scale / len(forces),
+        0.0, atol=1e-5,
+    )
+
+
+def test_dispersion_regression(water1024, pairs1024):
+    sys = water1024
+    c_list, _, _, _ = water_tt_disp_params(sys.n_atoms)
+    force = ADMPDispPmeForce(
+        jnp.asarray(sys.box), sys.covalent_map, RC, ETHRESH, pmax=10
+    )
+    force.update_env("kappa", KAPPA_MPID)
+    energy, forces = force.get_forces(
+        jnp.asarray(sys.positions), jnp.asarray(sys.box), pairs1024,
+        c_list, M_SCALES,
+    )
+    np.testing.assert_allclose(float(energy), REF_DISP, rtol=1e-10)
+    assert np.all(np.isfinite(np.asarray(forces)))
+
+
+def test_tt_damping_regression(water1024, pairs1024):
+    sys = water1024
+    c_list, a_list, b_list, q_list = water_tt_disp_params(sys.n_atoms)
+    pot = generate_pairwise_interaction(
+        tt_damping_qq_c6_kernel, sys.covalent_map
+    )
+    energy, forces = jax.value_and_grad(pot)(
+        jnp.asarray(sys.positions), jnp.asarray(sys.box), pairs1024,
+        M_SCALES, a_list, b_list, q_list, c_list[:, 0],
+    )
+    np.testing.assert_allclose(float(energy), REF_TT, rtol=1e-10)
+    assert np.all(np.isfinite(np.asarray(forces)))

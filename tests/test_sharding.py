@@ -1,0 +1,151 @@
+"""Sharding-equivalence tests: the model/data-sharded energy must match the
+single-device result to numerical tolerance on a virtual 8-device CPU mesh
+(the reference has no distributed path at all; SURVEY.md section 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from admp_tpu import ADMPPmeForce, convert_cart2harm
+from admp_tpu.parallel import (
+    fft3d_pencil,
+    make_sharded_batch_energy,
+    make_sharded_pme_energy,
+)
+from tests.watergen import water_arrays
+
+M_SCALES = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0])
+KAPPA = 0.62
+GRID = (16, 16, 16)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.array(devs[:8]), ("model",))
+
+
+@pytest.fixture(scope="module")
+def sys64():
+    # 64 waters = 192 atoms (divisible by 8)
+    return water_arrays(n_side=4, spacing=3.1, jitter=0.12, seed=5)
+
+
+def _padded_pairs(n, multiple):
+    pairs = [[i, j] for i in range(n) for j in range(i + 1, n)]
+    cap = -(-len(pairs) // multiple) * multiple
+    pairs += [[n, n]] * (cap - len(pairs))
+    return jnp.asarray(pairs, dtype=jnp.int32)
+
+
+def test_pencil_fft_matches_fftn(mesh8):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(16, 16, 16)))
+
+    out = jax.jit(
+        jax.shard_map(
+            lambda slab: fft3d_pencil(slab, "model"),
+            mesh=mesh8,
+            in_specs=jax.sharding.PartitionSpec("model"),
+            out_specs=jax.sharding.PartitionSpec(None, "model"),
+        )
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(jnp.fft.fftn(x)), atol=1e-10
+    )
+
+
+def test_sharded_energy_matches_single_device(mesh8, sys64):
+    sysd = sys64
+    n = sysd["positions"].shape[0]
+    q_local = convert_cart2harm(jnp.asarray(sysd["q_cart"]), 2)
+    pairs = _padded_pairs(n, 8)
+    positions = jnp.asarray(sysd["positions"])
+    box = jnp.asarray(sysd["box"])
+
+    sharded = make_sharded_pme_energy(
+        mesh8, "model",
+        grid_shape=GRID, kappa=KAPPA, lmax=2,
+        axis_types=sysd["axis_types"], axis_indices=sysd["axis_indices"],
+        covalent_map=sysd["covalent_map"],
+    )
+    e_sharded = jax.jit(sharded)(positions, box, pairs, q_local, M_SCALES)
+
+    # single-device baseline through the reference-parity-tested stack
+    force = ADMPPmeForce(
+        box, sysd["axis_types"], sysd["axis_indices"], sysd["covalent_map"],
+        4.0, 1e-3, 2,
+    )
+    force.kappa = KAPPA
+    force.K1, force.K2, force.K3 = GRID
+    force.refresh_calculators()
+    e_single = force.get_energy(positions, box, pairs, q_local, M_SCALES)
+    np.testing.assert_allclose(float(e_sharded), float(e_single), rtol=1e-9)
+
+
+def test_sharded_forces_match(mesh8, sys64):
+    sysd = sys64
+    n = sysd["positions"].shape[0]
+    q_local = convert_cart2harm(jnp.asarray(sysd["q_cart"]), 2)
+    pairs = _padded_pairs(n, 8)
+    positions = jnp.asarray(sysd["positions"])
+    box = jnp.asarray(sysd["box"])
+
+    sharded = make_sharded_pme_energy(
+        mesh8, "model",
+        grid_shape=GRID, kappa=KAPPA, lmax=2,
+        axis_types=sysd["axis_types"], axis_indices=sysd["axis_indices"],
+        covalent_map=sysd["covalent_map"],
+    )
+    f_sharded = jax.jit(jax.grad(sharded))(positions, box, pairs, q_local, M_SCALES)
+
+    force = ADMPPmeForce(
+        box, sysd["axis_types"], sysd["axis_indices"], sysd["covalent_map"],
+        4.0, 1e-3, 2,
+    )
+    force.kappa = KAPPA
+    force.K1, force.K2, force.K3 = GRID
+    force.refresh_calculators()
+    _, f_single = force.get_forces(positions, box, pairs, q_local, M_SCALES)
+    np.testing.assert_allclose(
+        np.asarray(f_sharded), np.asarray(f_single), atol=1e-9
+    )
+
+
+def test_data_model_mesh(sys64):
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.array(devs[:8]).reshape(2, 4), ("data", "model"))
+    sysd = sys64
+    n = sysd["positions"].shape[0]
+    q_local = convert_cart2harm(jnp.asarray(sysd["q_cart"]), 2)
+    pairs = _padded_pairs(n, 4)
+    box = jnp.asarray(sysd["box"])
+    base = jnp.asarray(sysd["positions"])
+    batch = jnp.stack([base, base + 0.01])
+    pairs_b = jnp.stack([pairs, pairs])
+
+    energy_b = make_sharded_batch_energy(
+        mesh, "data", "model",
+        grid_shape=GRID, kappa=KAPPA, lmax=2,
+        axis_types=sysd["axis_types"], axis_indices=sysd["axis_indices"],
+        covalent_map=sysd["covalent_map"],
+    )
+    out = jax.jit(energy_b)(batch, box, pairs_b, q_local, M_SCALES)
+    assert out.shape == (2,)
+
+    force = ADMPPmeForce(
+        box, sysd["axis_types"], sysd["axis_indices"], sysd["covalent_map"],
+        4.0, 1e-3, 2,
+    )
+    force.kappa = KAPPA
+    force.K1, force.K2, force.K3 = GRID
+    force.refresh_calculators()
+    for b in range(2):
+        e = force.get_energy(batch[b], box, pairs_b[b], q_local, M_SCALES)
+        np.testing.assert_allclose(float(out[b]), float(e), rtol=1e-9)
