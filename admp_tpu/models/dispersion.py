@@ -16,7 +16,7 @@ from admp_tpu.ops.dispersion import dispersion_pair_energy
 from admp_tpu.ops.ewald import setup_ewald_parameters
 from admp_tpu.ops.influence import ck_6, ck_8, ck_10
 from admp_tpu.ops.pbc import pbc_shift
-from admp_tpu.ops.reciprocal import make_pme_recip
+from admp_tpu.ops.reciprocal import make_disp_pme_recip
 from admp_tpu.ops.selfenergy import dispersion_self_energy
 from admp_tpu.settings import maybe_jit
 
@@ -34,24 +34,26 @@ def disp_pme_real_energy(positions, box, pairs, c_list, m_scales, covalent_map,
     dr = pbc_shift(positions[i] - positions[j], box, box_inv)
     r2 = jnp.sum(dr * dr, axis=-1)
     r2 = jnp.where(mask, r2, 1.0)
-    nbond = covalent_map[i, j]
+    from admp_tpu.ops.exclusions import lookup_topology_distance
+
+    nbond = lookup_topology_distance(covalent_map, i, j)
     mscale = m_scales[(nbond - 1) % m_scales.shape[0]]
     e = dispersion_pair_energy(r2, c_list[i], c_list[j], mscale, kappa, pmax)
     return jnp.sum(jnp.where(mask, e, 0.0))
 
 
 def energy_disp_pme(positions, box, pairs, c_list, m_scales, covalent_map,
-                    kappa, pmax, recip_fns):
+                    kappa, pmax, recip_fn):
     """Total dispersion PME energy (reference: admp/disp_pme.py:80-123).
 
     ``c_list`` is (N, n_p) with columns (C6^(1/2), C8^(1/2), C10^(1/2)) in the
-    reference's working units.
+    reference's working units. ``recip_fn`` handles all channels in one
+    spread + one batched FFT (see ops/reciprocal.py make_disp_pme_recip).
     """
     energy = disp_pme_real_energy(
         positions, box, pairs, c_list, m_scales, covalent_map, kappa, pmax
     )
-    for p_idx, recip_fn in enumerate(recip_fns):
-        energy = energy + recip_fn(positions, box, c_list[:, p_idx, None])
+    energy = energy + recip_fn(positions, box, c_list)
     energy = energy + dispersion_self_energy(c_list, kappa, pmax)
     return energy
 
@@ -61,7 +63,13 @@ class ADMPDispPmeForce:
     (reference: admp/disp_pme.py:20-77)."""
 
     def __init__(self, box, covalent_map, rc, ethresh, pmax):
-        self.covalent_map = jnp.asarray(covalent_map)
+        from admp_tpu.ops.exclusions import SparseExclusions
+
+        self.covalent_map = (
+            covalent_map
+            if isinstance(covalent_map, SparseExclusions)
+            else jnp.asarray(covalent_map)
+        )
         self.rc = rc
         self.ethresh = ethresh
         self.pmax = int(pmax)
@@ -82,17 +90,14 @@ class ADMPDispPmeForce:
             cks.append(ck_8)
         if self.pmax >= 10:
             cks.append(ck_10)
-        recip_fns = tuple(
-            make_pme_recip(ck, self.kappa, include_gamma=True, grid_shape=grid, lmax=0)
-            for ck in cks
-        )
+        recip_fn = make_disp_pme_recip(cks, self.kappa, grid)
         covalent_map = self.covalent_map
         kappa, pmax = self.kappa, self.pmax
 
         def get_energy(positions, box, pairs, c_list, mScales):
             return energy_disp_pme(
                 positions, box, pairs, c_list, mScales, covalent_map,
-                kappa, pmax, recip_fns,
+                kappa, pmax, recip_fn,
             )
 
         self.get_energy = maybe_jit(get_energy)

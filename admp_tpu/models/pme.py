@@ -80,7 +80,9 @@ def pme_real_energy(
     qi_i = rot_global2local(q_global[i], frames_qi, lmax)
     qi_j = rot_global2local(q_global[j], frames_qi, lmax)
 
-    nbond = covalent_map[i, j]
+    from admp_tpu.ops.exclusions import lookup_topology_distance
+
+    nbond = lookup_topology_distance(covalent_map, i, j)
     mscale = m_scales[(nbond - 1) % m_scales.shape[0]]
 
     coef = realspace.perm_coefficients(r, mscale, kappa, lmax)
@@ -193,9 +195,15 @@ class ADMPPmeForce:
         self.kappa = kappa
         self.K1, self.K2, self.K3 = k1, k2, k3
         self.pme_order = 6
-        self.covalent_map = jnp.asarray(covalent_map)
+        from admp_tpu.ops.exclusions import SparseExclusions
+
+        if isinstance(covalent_map, SparseExclusions):
+            self.covalent_map = covalent_map
+            self.n_atoms = int(covalent_map.n_atoms)
+        else:
+            self.covalent_map = jnp.asarray(covalent_map)
+            self.n_atoms = int(self.covalent_map.shape[0])
         self.lpol = bool(lpol)
-        self.n_atoms = int(self.covalent_map.shape[0])
         self.scf_config = scf_config or SCFConfig()
         self.U_ind = jnp.zeros((self.n_atoms, 3))
         self.lconverg = None

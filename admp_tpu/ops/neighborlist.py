@@ -69,6 +69,18 @@ def _dense_pairs(positions, box, cutoff, capacity):
     return pairs, n_found > capacity
 
 
+def _check_minimum_image(box, cutoff):
+    half_min = float(np.min(np.abs(np.diag(np.asarray(box))))) / 2.0
+    if cutoff > half_min:
+        import warnings
+
+        warnings.warn(
+            f"cutoff {cutoff} exceeds half the box ({half_min}): the minimum-"
+            "image convention is ambiguous and multipolar energies become "
+            "discontinuous as pairs cross images; enlarge the box or shrink rc."
+        )
+
+
 def neighbor_list_dense(positions, box, cutoff, capacity=None, padding=1.25):
     """Allocate a dense-strategy neighbor list (host entry point).
 
@@ -78,6 +90,7 @@ def neighbor_list_dense(positions, box, cutoff, capacity=None, padding=1.25):
     """
     positions = jnp.asarray(positions)
     box = jnp.asarray(box)
+    _check_minimum_image(box, cutoff)
     if capacity is None:
         pairs, _ = _dense_pairs(positions, box, cutoff, positions.shape[0] * 64)
         n_real = int(jnp.sum(pairs[:, 0] < positions.shape[0]))

@@ -151,6 +151,73 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int):
     return mesh
 
 
+def spread_to_mesh_multi(positions, box, coeffs, grid_shape):
+    """Spread C independent scalar (lmax=0) channels in one pass.
+
+    The dispersion PME needs three charge grids (C6, C8, C10 coefficients,
+    reference: admp/disp_pme.py:115-119) over identical B-spline geometry —
+    the reference runs three full spread pipelines; here the per-atom stencil
+    weights are computed once and scattered with a trailing channel axis.
+
+    Args:
+      coeffs: (N, C) per-atom channel coefficients.
+    Returns:
+      (K1, K2, K3, C) meshes.
+    """
+    k1, k2, k3 = grid_shape
+    m_u0, u0, _ = mesh_coordinates(positions, box, grid_shape)
+    m = bsplines.spline_values(u0)  # (N, 6, 3)
+    theta = jnp.einsum("ai,aj,ak->aijk", m[..., 0], m[..., 1], m[..., 2])
+    q_points = theta[..., None] * coeffs[:, None, None, None, :]  # (N,6,6,6,C)
+
+    offsets = jnp.arange(-3, 3)
+    idx1 = jnp.mod(m_u0[:, 0:1] + offsets[None, :], k1)
+    idx2 = jnp.mod(m_u0[:, 1:2] + offsets[None, :], k2)
+    idx3 = jnp.mod(m_u0[:, 2:3] + offsets[None, :], k3)
+    mesh = jnp.zeros((k1, k2, k3, coeffs.shape[-1]), dtype=q_points.dtype)
+    return mesh.at[
+        idx1[:, :, None, None], idx2[:, None, :, None], idx3[:, None, None, :]
+    ].add(q_points)
+
+
+def convolve_energy_multi(meshes, box, kappa, ck_fns, include_gamma, prefactor=1.0):
+    """Influence-function convolution for channel-stacked meshes
+    (one FFT batched over the trailing channel axis)."""
+    grid_shape = meshes.shape[:3]
+    volume = jnp.linalg.det(box)
+    ksq, theta_sq = k_space_grids(box, grid_shape, meshes.dtype)
+    s_k = jnp.fft.fftn(meshes, axes=(0, 1, 2))
+    s_sq = jnp.real(s_k * jnp.conj(s_k))  # (K1, K2, K3, C)
+
+    nonzero = ksq > 0.0
+    ksq_safe = jnp.where(nonzero, ksq, 1.0)
+    energy = 0.0
+    for c, ck_fn in enumerate(ck_fns):
+        c_k = jnp.where(nonzero, ck_fn(ksq_safe, kappa, volume), 0.0)
+        e_c = jnp.sum(c_k * s_sq[..., c] / theta_sq)
+        if include_gamma:
+            c0 = ck_fn.at_zero(kappa, volume)
+            e_c = e_c + c0 * s_sq[0, 0, 0, c] / theta_sq[0, 0, 0]
+        energy = energy + e_c
+    return prefactor * energy
+
+
+def make_disp_pme_recip(ck_fns, kappa, grid_shape):
+    """Multi-channel dispersion reciprocal engine: one spread, one batched FFT
+    for all C6/C8/C10 grids (3x fewer scatter and FFT passes than the
+    per-channel pipeline the reference uses, admp/disp_pme.py:61-77)."""
+    grid_shape = tuple(int(k) for k in grid_shape)
+    ck_fns = tuple(ck_fns)
+
+    def disp_recip(positions, box, c_list):
+        meshes = spread_to_mesh_multi(
+            positions, box, c_list[:, : len(ck_fns)], grid_shape
+        )
+        return convolve_energy_multi(meshes, box, kappa, ck_fns, True)
+
+    return disp_recip
+
+
 def _fft_int_freqs(n: int):
     """Integer FFT frequencies [0, 1, ..., -1] matching fftn output layout."""
     return jnp.where(

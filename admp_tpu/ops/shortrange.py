@@ -39,7 +39,9 @@ def expand_pairs(positions, box, pairs, covalent_map, scales):
     r2 = jnp.sum(dr * dr, axis=-1)
     r2 = jnp.where(mask, r2, 1.0)
     r = jnp.sqrt(r2)
-    nbond = covalent_map[i, j]
+    from admp_tpu.ops.exclusions import lookup_topology_distance
+
+    nbond = lookup_topology_distance(covalent_map, i, j)
     mscale = scales[(nbond - 1) % scales.shape[0]]
     return mask, i, j, r, mscale
 
@@ -52,7 +54,10 @@ def generate_pairwise_interaction(pair_int_kernel, covalent_map, static_args=Non
     energies; each per-atom parameter array contributes a gathered (i, j) pair
     of arguments in order.
     """
-    covalent_map = jnp.asarray(covalent_map)
+    from admp_tpu.ops.exclusions import SparseExclusions
+
+    if not isinstance(covalent_map, SparseExclusions):
+        covalent_map = jnp.asarray(covalent_map)
 
     def pair_int(positions, box, pairs, m_scales, *atomic_params):
         mask, i, j, r, mscale = expand_pairs(
