@@ -26,6 +26,10 @@ from admp_tpu.ops.neighborlist import (
     update_neighbor_list,
 )
 from admp_tpu.ops.shortrange import (
+    distribute_dispcoeff,
+    distribute_multipoles,
+    distribute_scalar,
+    distribute_v3,
     generate_pairwise_interaction,
     tt_damping_qq_c6_kernel,
 )

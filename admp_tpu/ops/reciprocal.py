@@ -143,12 +143,14 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int):
     idx1 = jnp.mod(m_u0[:, 0:1] + offsets[None, :], k1)  # (N,6)
     idx2 = jnp.mod(m_u0[:, 1:2] + offsets[None, :], k2)
     idx3 = jnp.mod(m_u0[:, 2:3] + offsets[None, :], k3)
-
-    mesh = jnp.zeros((k1, k2, k3), dtype=q_points.dtype)
-    mesh = mesh.at[
-        idx1[:, :, None, None], idx2[:, None, :, None], idx3[:, None, None, :]
-    ].add(q_points)
-    return mesh
+    # flattened 1D scatter: measurably cheaper than the 3D form on TPU,
+    # especially its transpose (the force-gather adjoint)
+    flat = (
+        (idx1[:, :, None, None] * k2 + idx2[:, None, :, None]) * k3
+        + idx3[:, None, None, :]
+    ).reshape(-1)
+    mesh = jnp.zeros((k1 * k2 * k3,), dtype=q_points.dtype)
+    return mesh.at[flat].add(q_points.reshape(-1)).reshape(k1, k2, k3)
 
 
 def spread_to_mesh_multi(positions, box, coeffs, grid_shape):
@@ -182,19 +184,20 @@ def spread_to_mesh_multi(positions, box, coeffs, grid_shape):
 
 def convolve_energy_multi(meshes, box, kappa, ck_fns, include_gamma, prefactor=1.0):
     """Influence-function convolution for channel-stacked meshes
-    (one FFT batched over the trailing channel axis)."""
+    (one rfft batched over the trailing channel axis)."""
     grid_shape = meshes.shape[:3]
     volume = jnp.linalg.det(box)
-    ksq, theta_sq = k_space_grids(box, grid_shape, meshes.dtype)
-    s_k = jnp.fft.fftn(meshes, axes=(0, 1, 2))
-    s_sq = jnp.real(s_k * jnp.conj(s_k))  # (K1, K2, K3, C)
+    ksq, theta_sq = k_space_grids(box, grid_shape, meshes.dtype, rfft=True)
+    s_k = jnp.fft.rfftn(meshes, axes=(0, 1, 2))
+    s_sq = jnp.real(s_k * jnp.conj(s_k))  # (K1, K2, K3h, C)
 
     nonzero = ksq > 0.0
     ksq_safe = jnp.where(nonzero, ksq, 1.0)
+    w3 = _hermitian_weights(grid_shape[2], meshes.dtype)
     energy = 0.0
     for c, ck_fn in enumerate(ck_fns):
         c_k = jnp.where(nonzero, ck_fn(ksq_safe, kappa, volume), 0.0)
-        e_c = jnp.sum(c_k * s_sq[..., c] / theta_sq)
+        e_c = jnp.sum((c_k / theta_sq * w3[None, None, :]) * s_sq[..., c])
         if include_gamma:
             c0 = ck_fn.at_zero(kappa, volume)
             e_c = e_c + c0 * s_sq[0, 0, 0, c] / theta_sq[0, 0, 0]
@@ -225,13 +228,20 @@ def _fft_int_freqs(n: int):
     )
 
 
-def k_space_grids(box, grid_shape, dtype):
-    """Return (ksq, theta_k_sq) broadcast grids of shape grid_shape."""
+def k_space_grids(box, grid_shape, dtype, rfft=False):
+    """Return (ksq, theta_k_sq) broadcast grids.
+
+    With ``rfft=True`` the last axis covers only the non-negative frequencies
+    (length K3//2 + 1), matching ``jnp.fft.rfftn`` output.
+    """
     k1, k2, k3 = grid_shape
     box_inv = jnp.linalg.inv(box).astype(dtype)
     f1 = _fft_int_freqs(k1).astype(dtype)
     f2 = _fft_int_freqs(k2).astype(dtype)
-    f3 = _fft_int_freqs(k3).astype(dtype)
+    if rfft:
+        f3 = jnp.arange(k3 // 2 + 1, dtype=dtype)
+    else:
+        f3 = _fft_int_freqs(k3).astype(dtype)
     # k_cart[c] = 2 pi sum_i f_i * box_inv[i, c]
     kvec = (
         f1[:, None, None, None] * box_inv[0][None, None, None, :]
@@ -247,18 +257,35 @@ def k_space_grids(box, grid_shape, dtype):
     return ksq, theta_k * theta_k
 
 
+def _hermitian_weights(k3: int, dtype):
+    """Multiplicities of rfft modes in the full spectrum: the k3=0 plane (and
+    the Nyquist plane for even K3) appear once, every other mode twice."""
+    k3h = k3 // 2 + 1
+    w = jnp.full((k3h,), 2.0, dtype=dtype)
+    w = w.at[0].set(1.0)
+    if k3 % 2 == 0:
+        w = w.at[k3h - 1].set(1.0)
+    return w
+
+
 def convolve_energy(mesh, box, kappa, ck_fn, include_gamma: bool, prefactor=1.0):
-    """E = prefactor * sum_k C(k^2) |S_k|^2 / theta_k^2."""
+    """E = prefactor * sum_k C(k^2) |S_k|^2 / theta_k^2.
+
+    The mesh is real, so the spectrum is Hermitian: an rfft over the last axis
+    plus multiplicity weights halves the FFT, the influence evaluation, and
+    their adjoints relative to a full complex FFT.
+    """
     grid_shape = mesh.shape
     volume = jnp.linalg.det(box)
-    ksq, theta_sq = k_space_grids(box, grid_shape, mesh.dtype)
-    s_k = jnp.fft.fftn(mesh)
+    ksq, theta_sq = k_space_grids(box, grid_shape, mesh.dtype, rfft=True)
+    s_k = jnp.fft.rfftn(mesh)
     s_sq = jnp.real(s_k * jnp.conj(s_k))
 
     nonzero = ksq > 0.0
     ksq_safe = jnp.where(nonzero, ksq, 1.0)
     c_k = jnp.where(nonzero, ck_fn(ksq_safe, kappa, volume), 0.0)
-    energy = jnp.sum(c_k * s_sq / theta_sq)
+    w3 = _hermitian_weights(grid_shape[2], mesh.dtype)
+    energy = jnp.sum((c_k / theta_sq * w3[None, None, :]) * s_sq)
     if include_gamma:
         c0 = ck_fn.at_zero(kappa, volume)
         energy = energy + c0 * s_sq[0, 0, 0] / theta_sq[0, 0, 0]

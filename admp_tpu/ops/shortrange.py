@@ -13,6 +13,19 @@ from admp_tpu.ops.pbc import pbc_shift
 from admp_tpu.utils.constants import ANGSTROM_TO_BOHR, HARTREE_TO_KJMOL
 
 
+# Reference-compatible parameter "distributors" (admp/pairwise.py:21-42).
+# XLA fuses gathers regardless of shape, so one definition serves all of the
+# reference's shape-specialized variants; the names are kept for users porting
+# code from the reference.
+def distribute_scalar(params, index):
+    return params[index]
+
+
+distribute_v3 = distribute_scalar
+distribute_multipoles = distribute_scalar
+distribute_dispcoeff = distribute_scalar
+
+
 def expand_pairs(positions, box, pairs, covalent_map, scales):
     """Common pair-expansion preamble shared by all pairwise calculators.
 
