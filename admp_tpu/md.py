@@ -4,6 +4,13 @@ The reference provides no integrator (users bring OpenMM/i-PI); this module
 closes the loop for production MD on TPU: the whole trajectory segment runs as
 one compiled scan — positions, velocities, forces, and the induced-dipole warm
 start never leave the device between steps.
+
+Neighbor-list discipline: the force field sees a FIXED pair list inside a scan
+segment. Build it with a skin (list cutoff = rc + ~1 A) and rebuild between
+segments (admp_tpu.ops.neighborlist.update_neighbor_list is jit-friendly at
+fixed capacity); a stale list makes pair interactions appear/vanish
+discontinuously, which shows up as spurious heating in NVT and energy drift in
+NVE.
 """
 
 from __future__ import annotations
@@ -37,6 +44,50 @@ def make_nve_step(force_fn, masses, dt: float):
         return MDState(x_new, v_new, f_new, aux)
 
     return step
+
+
+def make_langevin_step(force_fn, masses, dt: float, temperature: float,
+                       friction: float):
+    """BAOAB Langevin integrator step (NVT).
+
+    temperature in K, friction in 1/ps. Uses kB = 0.00831446 kJ/mol/K.
+    Returns step(state, key) -> state.
+    """
+    k_b = 0.00831446261815324
+    m = masses[:, None]
+    c1 = jnp.exp(-friction * dt)
+    sigma = jnp.sqrt(k_b * temperature * (1.0 - c1**2) / m * _ACC)
+
+    def step(state: MDState, key):
+        v = state.velocities + 0.5 * dt * _ACC * state.forces / m
+        x = state.positions + 0.5 * dt * v
+        noise = jax.random.normal(key, v.shape, dtype=v.dtype)
+        v = c1 * v + sigma * noise
+        x = x + 0.5 * dt * v
+        _, f_new, aux = force_fn(x, state.aux)
+        v = v + 0.5 * dt * _ACC * f_new / m
+        return MDState(x, v, f_new, aux)
+
+    return step
+
+
+def run_langevin(force_fn, masses, dt, temperature, friction, state: MDState,
+                 n_steps: int, key):
+    """Run an NVT Langevin trajectory inside one lax.scan; returns the final
+    state and per-step kinetic energies."""
+    step = make_langevin_step(force_fn, masses, dt, temperature, friction)
+    m = masses[:, None]
+
+    def body(carry, k):
+        st = MDState(*carry)
+        new = step(st, k)
+        ke = 0.5 * jnp.sum(m * new.velocities**2) / _ACC
+        return (new.positions, new.velocities, new.forces, new.aux), ke
+
+    keys = jax.random.split(key, n_steps)
+    flat = (state.positions, state.velocities, state.forces, state.aux)
+    (pos, vel, frc, aux), kes = jax.lax.scan(body, flat, keys)
+    return MDState(pos, vel, frc, aux), kes
 
 
 def run_nve(force_fn, masses, dt, state: MDState, n_steps: int, report_every=0):

@@ -57,13 +57,32 @@ def pme_real_energy(
     kappa,
     lmax: int,
     lpol: bool,
+    pair_chunk: int | None = None,
 ):
     """Real-space multipolar Ewald energy over a padded pair list.
 
     Parity with reference: admp/pme.py:628-729 (pair expansion) +
     admp/pme.py:479-624 (kernel), via the bilinear-form contraction of
     ops/realspace.py. ``pairs`` may contain padding (i >= j) which is masked.
+
+    ``pair_chunk``: process the pair list in fixed-size blocks via lax.map —
+    bounds peak memory for very large systems (per-pair intermediates like the
+    quasi-internal frames tile-pad badly on TPU at tens of millions of pairs).
     """
+    if pair_chunk is not None and pairs.shape[0] > pair_chunk:
+        n_pad = (-pairs.shape[0]) % pair_chunk
+        padded = jnp.concatenate(
+            [pairs, jnp.full((n_pad, 2), positions.shape[0], pairs.dtype)]
+        )
+        blocks = padded.reshape(-1, pair_chunk, 2)
+        energies = jax.lax.map(
+            lambda blk: pme_real_energy(
+                positions, box, blk, q_global, u_ind_harm, pol, tholes,
+                m_scales, p_scales, covalent_map, kappa, lmax, lpol,
+            ),
+            blocks,
+        )
+        return jnp.sum(energies)
     n = positions.shape[0]
     raw_i, raw_j = pairs[..., 0], pairs[..., 1]
     mask = raw_i < raw_j
@@ -119,6 +138,7 @@ def energy_pme(
     kappa,
     lmax: int,
     lpol: bool,
+    pair_chunk: int | None = None,
 ):
     """Total multipolar PME energy: real + reciprocal + self (+ polarization).
 
@@ -162,6 +182,7 @@ def energy_pme(
         kappa,
         lmax_eff,
         lpol,
+        pair_chunk,
     )
     e_recip = pme_recip_fn(positions, box, q_tot)
     e_self = pme_self_energy(q_tot, kappa, lmax_eff)
@@ -185,13 +206,19 @@ class ADMPPmeForce:
         lmax,
         lpol=False,
         scf_config: SCFConfig | None = None,
+        fft_friendly_grid: bool = False,
     ):
         self.axis_type = jnp.asarray(axis_type)
         self.axis_indices = jnp.asarray(axis_indices)
         self.rc = rc
         self.ethresh = ethresh
         self.lmax = int(lmax)
-        kappa, k1, k2, k3 = setup_ewald_parameters(rc, ethresh, box)
+        if fft_friendly_grid:
+            from admp_tpu.ops.ewald import setup_ewald_parameters_fft
+
+            kappa, k1, k2, k3 = setup_ewald_parameters_fft(rc, ethresh, box)
+        else:
+            kappa, k1, k2, k3 = setup_ewald_parameters(rc, ethresh, box)
         self.kappa = kappa
         self.K1, self.K2, self.K3 = k1, k2, k3
         self.pme_order = 6
@@ -241,10 +268,11 @@ class ADMPPmeForce:
         kappa, lmax = self.kappa, self.lmax
 
         def get_energy(positions, box, pairs, Q_local, mScales):
+            pair_chunk = (1 << 18) if pairs.shape[0] > (1 << 20) else None
             return energy_pme(
                 positions, box, pairs, Q_local, None, None, None,
                 mScales, None, None, covalent_map, axis_types, axis_indices,
-                recip, kappa, lmax, False,
+                recip, kappa, lmax, False, pair_chunk,
             )
 
         self.get_energy = maybe_jit(get_energy)
@@ -263,10 +291,11 @@ class ADMPPmeForce:
 
         def energy_fn(positions, box, pairs, Q_local, U_ind, pol, tholes,
                       mScales, pScales, dScales):
+            pair_chunk = (1 << 18) if pairs.shape[0] > (1 << 20) else None
             return energy_pme(
                 positions, box, pairs, Q_local, U_ind, pol, tholes,
                 mScales, pScales, dScales, covalent_map, axis_types,
-                axis_indices, recip, kappa, lmax, True,
+                axis_indices, recip, kappa, lmax, True, pair_chunk,
             )
 
         self.energy_fn = energy_fn

@@ -168,12 +168,25 @@ def _cell_pairs(positions, box, cutoff, n_cells, cell_capacity, capacity):
 
     # candidate partners: (n, 27 * cell_capacity)
     cand = buckets[neigh_id].reshape(n, -1)
+    # component-wise displacement math: TPU layouts pad a trailing dim of 3 to
+    # the 128-lane tile, which at 100k atoms turns a (n*675, 3) buffer into
+    # tens of GB; three (n, 675) arrays tile cleanly instead
     pos_pad = jnp.concatenate([positions, jnp.zeros((1, 3), positions.dtype)])
-    dr = pos_pad[cand] - positions[:, None, :]
-    ds = dr @ box_inv
-    ds = ds - jnp.floor(ds + 0.5)
-    dr = ds @ box
-    r2 = jnp.sum(dr * dr, axis=-1)
+    px, py, pz = pos_pad[:, 0], pos_pad[:, 1], pos_pad[:, 2]
+    dx = px[cand] - positions[:, 0][:, None]
+    dy = py[cand] - positions[:, 1][:, None]
+    dz = pz[cand] - positions[:, 2][:, None]
+    # fractional wrap: s_i = sum_c dr_c * box_inv[c, i]
+    s1 = dx * box_inv[0, 0] + dy * box_inv[1, 0] + dz * box_inv[2, 0]
+    s2 = dx * box_inv[0, 1] + dy * box_inv[1, 1] + dz * box_inv[2, 1]
+    s3 = dx * box_inv[0, 2] + dy * box_inv[1, 2] + dz * box_inv[2, 2]
+    s1 = s1 - jnp.floor(s1 + 0.5)
+    s2 = s2 - jnp.floor(s2 + 0.5)
+    s3 = s3 - jnp.floor(s3 + 0.5)
+    wx = s1 * box[0, 0] + s2 * box[1, 0] + s3 * box[2, 0]
+    wy = s1 * box[0, 1] + s2 * box[1, 1] + s3 * box[2, 1]
+    wz = s1 * box[0, 2] + s2 * box[1, 2] + s3 * box[2, 2]
+    r2 = wx * wx + wy * wy + wz * wz
     i_ids = jnp.broadcast_to(jnp.arange(n)[:, None], cand.shape)
     good = (cand > i_ids) & (cand < n) & (r2 < cutoff * cutoff)
 

@@ -124,13 +124,34 @@ def spread_weights(u0, dug_dx, lmax: int):
     return jnp.concatenate(outs, axis=-1)
 
 
-def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int):
+def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
+                   atom_chunk: int | None = None):
     """Spread harmonic multipoles onto the (K1, K2, K3) charge mesh.
 
     Quadrupole channels carry the 1/3 prefactor of the MPID convention
     (reference: admp/recip.py:300-310).
+
+    ``atom_chunk``: accumulate the mesh over fixed-size atom blocks (lax.scan)
+    to bound the (N, 6, 6, 6, n_harm) weight intermediates at large N.
     """
     k1, k2, k3 = grid_shape
+    if atom_chunk is not None and positions.shape[0] > atom_chunk:
+        n = positions.shape[0]
+        n_pad = (-n) % atom_chunk
+        pos_p = jnp.concatenate([positions, jnp.zeros((n_pad, 3), positions.dtype)])
+        q_p = jnp.concatenate(
+            [q_harm, jnp.zeros((n_pad, q_harm.shape[1]), q_harm.dtype)]
+        )
+        pos_b = pos_p.reshape(-1, atom_chunk, 3)
+        q_b = q_p.reshape(-1, atom_chunk, q_harm.shape[1])
+
+        def body(mesh, blk):
+            p_blk, q_blk = blk
+            return mesh + spread_to_mesh(p_blk, box, q_blk, grid_shape, lmax), 0.0
+
+        mesh0 = jnp.zeros((k1, k2, k3), q_harm.dtype)
+        mesh, _ = jax.lax.scan(body, mesh0, (pos_b, q_b))
+        return mesh
     m_u0, u0, dug_dx = mesh_coordinates(positions, box, grid_shape)
     weights = spread_weights(u0, dug_dx, lmax)  # (N,6,6,6,H)
 
@@ -217,6 +238,8 @@ def make_disp_pme_recip(ck_fns, kappa, grid_shape):
             positions, box, c_list[:, : len(ck_fns)], grid_shape
         )
         return convolve_energy_multi(meshes, box, kappa, ck_fns, True)
+    # NOTE: dispersion spreading is lmax=0 (theta only), whose intermediates
+    # are (N, 216)-shaped after the outer product — no chunking needed at 100k
 
     return disp_recip
 
@@ -301,7 +324,10 @@ def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0)
     grid_shape = tuple(int(k) for k in grid_shape)
 
     def pme_recip(positions, box, q_harm):
-        mesh = spread_to_mesh(positions, box, q_harm, grid_shape, lmax)
+        atom_chunk = 4096 if positions.shape[0] > 16384 else None
+        mesh = spread_to_mesh(
+            positions, box, q_harm, grid_shape, lmax, atom_chunk
+        )
         return convolve_energy(mesh, box, kappa, ck_fn, include_gamma, prefactor)
 
     return pme_recip

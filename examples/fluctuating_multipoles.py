@@ -112,7 +112,7 @@ def main():
     else:
         force = ADMPPmeForce(
             box, s["axis_types"], s["axis_indices"], exclusions,
-            args.rc, 1e-4, lmax=2,
+            args.rc, 1e-4, lmax=2, fft_friendly_grid=True,
         )
 
         def energy(positions):

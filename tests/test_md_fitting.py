@@ -97,3 +97,95 @@ def test_checkpoint_roundtrip(tmp_path):
     assert step == 7
     np.testing.assert_allclose(np.asarray(restored["a"]), np.arange(5.0))
     np.testing.assert_allclose(np.asarray(restored["b"]["c"]), 1.0)
+
+
+def test_langevin_thermostat_equilibrates():
+    from admp_tpu.md import run_langevin
+    from admp_tpu.ops.bonded import (
+        harmonic_angle_energy, harmonic_bond_energy, water_bonded_terms,
+    )
+
+    s, pairs = _setup(n_side=3, seed=23)
+    box = jnp.asarray(s["box"])
+    ql = convert_cart2harm(jnp.asarray(s["q_cart"]), 2)
+    force = ADMPPmeForce(
+        box, s["axis_types"], s["axis_indices"], s["covalent_map"], 3.5, 1e-3, 2
+    )
+    n_atoms = s["positions"].shape[0]
+    b_idx, r0, kb, a_idx, th0, ka = water_bonded_terms(n_atoms // 3)
+    # short-range Born-Mayer repulsion (TT kernel) prevents Coulomb collapse
+    from admp_tpu import generate_pairwise_interaction, tt_damping_qq_c6_kernel
+
+    tt = generate_pairwise_interaction(tt_damping_qq_c6_kernel, s["covalent_map"])
+    tt_args = (
+        jnp.asarray(s["tt_a"]), jnp.asarray(s["tt_b"]),
+        jnp.asarray(s["tt_q"]), jnp.asarray(s["c_list"])[:, 0],
+    )
+
+    def total(positions):
+        e = force.get_energy(positions, box, pairs, ql, M_SCALES)
+        e = e + tt(positions, box, pairs, M_SCALES, *tt_args)
+        e = e + harmonic_bond_energy(positions, box, jnp.asarray(b_idx),
+                                     jnp.asarray(r0), jnp.asarray(kb))
+        e = e + harmonic_angle_energy(positions, box, jnp.asarray(a_idx),
+                                      jnp.asarray(th0), jnp.asarray(ka))
+        return e
+
+    def force_fn(positions, aux):
+        e, g = jax.value_and_grad(total)(positions)
+        return e, -g, aux
+
+    n = s["positions"].shape[0]
+    masses = jnp.asarray(np.tile([15.999, 1.008, 1.008], n // 3))
+    _, f0 = jax.value_and_grad(total)(jnp.asarray(s["positions"]))
+    state = MDState(jnp.asarray(s["positions"]), jnp.zeros((n, 3)), -f0, None)
+    target_t = 300.0
+    final, kes = jax.jit(
+        lambda st: run_langevin(
+            force_fn, masses, 5e-4, target_t, 10.0, st, 400,
+            jax.random.PRNGKey(0),
+        )
+    )(state)
+    # kinetic temperature should rise from 0 toward the target
+    k_b = 0.00831446261815324
+    temps = np.asarray(kes) / (1.5 * n * k_b)
+    assert temps[0] < 50.0
+    assert 120.0 < temps[-100:].mean() < 600.0
+    assert np.all(np.isfinite(np.asarray(final.positions)))
+
+
+def test_bonded_terms_minimum_and_gradient():
+    from admp_tpu.ops.bonded import (
+        harmonic_angle_energy, harmonic_bond_energy, water_bonded_terms,
+    )
+    from admp_tpu.systems import water_lattice
+
+    positions, box = water_lattice(n_side=2, jitter=0.0, seed=0)
+    pos = jnp.asarray(positions)
+    box_j = jnp.asarray(box)
+    b_idx, r0, kb, a_idx, th0, ka = water_bonded_terms(8)
+    eb = harmonic_bond_energy(pos, box_j, jnp.asarray(b_idx), jnp.asarray(r0),
+                              jnp.asarray(kb))
+    ea = harmonic_angle_energy(pos, box_j, jnp.asarray(a_idx), jnp.asarray(th0),
+                               jnp.asarray(ka))
+    # template water sits at the XML equilibrium geometry
+    assert float(eb) < 1e-6 and float(ea) < 1e-4
+
+    # finite-difference gradient check away from equilibrium
+    rng = np.random.default_rng(0)
+    pos2 = pos + jnp.asarray(rng.normal(0, 0.05, pos.shape))
+
+    def e_fn(p):
+        return harmonic_bond_energy(
+            p, box_j, jnp.asarray(b_idx), jnp.asarray(r0), jnp.asarray(kb)
+        ) + harmonic_angle_energy(
+            p, box_j, jnp.asarray(a_idx), jnp.asarray(th0), jnp.asarray(ka)
+        )
+
+    g = jax.grad(e_fn)(pos2)
+    eps = 1e-6
+    for (a, d) in [(0, 0), (4, 2)]:
+        dp = np.asarray(pos2).copy(); dp[a, d] += eps
+        dm = np.asarray(pos2).copy(); dm[a, d] -= eps
+        fd = (float(e_fn(jnp.asarray(dp))) - float(e_fn(jnp.asarray(dm)))) / (2 * eps)
+        np.testing.assert_allclose(float(g[a, d]), fd, rtol=1e-5, atol=1e-7)
