@@ -37,6 +37,30 @@ def fft3d_pencil(local_slab, axis_name):
     return jnp.fft.fft(x, axis=0)
 
 
+def rfft3d_pencil(local_slab, axis_name):
+    """Real-input variant of :func:`fft3d_pencil`: the local K3 axis uses an
+    rfft (half spectrum), halving interconnect traffic and per-mode work.
+
+    Returns (K1, K2/P, K3//2 + 1) — pair with Hermitian multiplicity weights
+    (see ops/reciprocal._hermitian_weights) for Parseval sums.
+
+    Implementation note: a true rfft's transpose rule currently clashes with
+    shard_map's varying-axes tracking, so the local K3 transform is a full
+    complex FFT sliced to the half spectrum — the interconnect transpose and
+    all downstream k-space work still operate on half the modes.
+    """
+    k3h = local_slab.shape[2] // 2 + 1
+    x = jnp.fft.fft(
+        local_slab.astype(
+            jnp.complex64 if local_slab.dtype == jnp.float32 else jnp.complex128
+        ),
+        axis=2,
+    )[:, :, :k3h]
+    x = jnp.fft.fft(x, axis=1)
+    x = jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=0, tiled=True)
+    return jnp.fft.fft(x, axis=0)
+
+
 def local_slab_index(axis_name):
     """Index of this device's slab along the sharded axis."""
     return jax.lax.axis_index(axis_name)

@@ -32,9 +32,13 @@ from admp_tpu.models.pme import pme_real_energy
 from admp_tpu.ops import bsplines
 from admp_tpu.ops.frames import construct_local_frames
 from admp_tpu.ops.harmonics import rot_local2global
-from admp_tpu.ops.reciprocal import _fft_int_freqs, spread_to_mesh
+from admp_tpu.ops.reciprocal import (
+    _fft_int_freqs,
+    _hermitian_weights,
+    spread_to_mesh,
+)
 from admp_tpu.ops.selfenergy import pme_self_energy
-from admp_tpu.parallel.fft import fft3d_pencil
+from admp_tpu.parallel.fft import rfft3d_pencil
 from admp_tpu.utils.constants import DIELECTRIC
 
 
@@ -57,7 +61,8 @@ def _sharded_recip_energy(positions, box, q_tot, grid_shape, kappa, lmax,
         mesh_full, axis_name, scatter_dimension=0, tiled=True
     )  # (K1/P, K2, K3)
 
-    s_k = fft3d_pencil(slab, axis_name)  # (K1, K2/P, K3) transposed pencils
+    # transposed half-spectrum pencils (K1, K2/P, K3//2+1)
+    s_k = rfft3d_pencil(slab, axis_name)
 
     # k-space grids for the local transposed slab
     dtype = slab.dtype
@@ -66,7 +71,7 @@ def _sharded_recip_energy(positions, box, q_tot, grid_shape, kappa, lmax,
     k2_local = k2 // n_dev
     f2 = _fft_int_freqs(k2).astype(dtype)
     f2 = jax.lax.dynamic_slice_in_dim(f2, dev * k2_local, k2_local)
-    f3 = _fft_int_freqs(k3).astype(dtype)
+    f3 = jnp.arange(k3 // 2 + 1, dtype=dtype)
     kvec = (
         f1[:, None, None, None] * box_inv[0][None, None, None, :]
         + f2[None, :, None, None] * box_inv[1][None, None, None, :]
@@ -83,7 +88,8 @@ def _sharded_recip_energy(positions, box, q_tot, grid_shape, kappa, lmax,
     nonzero = ksq > 0.0
     ksq_safe = jnp.where(nonzero, ksq, 1.0)
     c_k = jnp.where(nonzero, ck_fn(ksq_safe, kappa, volume), 0.0)
-    energy = jnp.sum(c_k * s_sq / theta_sq)
+    w3 = _hermitian_weights(k3, dtype)
+    energy = jnp.sum((c_k / theta_sq * w3[None, None, :]) * s_sq)
     if include_gamma:
         # only the device owning k2-chunk 0 holds the gamma point
         gamma_here = (dev == 0).astype(dtype)
