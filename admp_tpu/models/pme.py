@@ -207,6 +207,7 @@ class ADMPPmeForce:
         lpol=False,
         scf_config: SCFConfig | None = None,
         fft_friendly_grid: bool = False,
+        spread_method: str = "scatter",
     ):
         self.axis_type = jnp.asarray(axis_type)
         self.axis_indices = jnp.asarray(axis_indices)
@@ -232,6 +233,7 @@ class ADMPPmeForce:
             self.n_atoms = int(self.covalent_map.shape[0])
         self.lpol = bool(lpol)
         self.scf_config = scf_config or SCFConfig()
+        self.spread_method = spread_method
         self.U_ind = jnp.zeros((self.n_atoms, 3))
         self.lconverg = None
         self.n_cycle = None
@@ -251,6 +253,7 @@ class ADMPPmeForce:
             grid_shape=(self.K1, self.K2, self.K3),
             lmax=self.lmax,
             prefactor=DIELECTRIC,
+            spread_method=getattr(self, "spread_method", "scatter"),
         )
         if self.lpol:
             self._build_polarizable()

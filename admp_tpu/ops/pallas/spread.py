@@ -3,27 +3,26 @@
 The XLA lowering of the (N, 6, 6, 6) -> (K1, K2, K3) scatter-add serializes
 random-index updates through HBM. This kernel decomposes the mesh into x-slabs:
 atoms are bucketed by their base x-row (one cheap sort), each program owns one
-slab, keeps it in VMEM, and accumulates each atom's 6x6x6 stencil block with
-dynamic-slice updates — HBM sees each slab exactly once. Slabs are padded by
-the stencil halo (5 points per axis) and the periodic wrap is folded afterwards
-with dense XLA adds.
+slab, keeps it in VMEM, and accumulates each atom's 6x6x6 stencil block — HBM
+sees each slab exactly once.
 
-This is the forward spread only; the adjoint (force interpolation) is the
+Mosaic cannot lower unaligned sub-tile dynamic read-modify-writes (the last two
+ref dimensions are (8, 128)-tiled), so the per-atom update is done on an
+ALIGNED (6, 16, 256) window: the y/z base indices are rounded down to the tile
+grid and the 6-wide block is placed at its in-window offset with separable
+one-hot select placement (pure VPU; Mosaic's compile helper also crashes on
+dot_general inside fori_loop). Slabs carry halo padding; the periodic wrap is
+folded afterwards with dense XLA adds.
+
+This is the forward spread; the adjoint (force interpolation) is the
 corresponding block gather, which XLA already executes efficiently.
-
-STATUS: numerically validated in Pallas interpret mode (tests/test_pallas.py);
-the Mosaic TPU compiler currently rejects the 3-axis dynamic-slice
-read-modify-write with a 6-wide (sub-lane-width, unaligned) last dimension
-(remote-compile INTERNAL error). Production spreading therefore stays on the
-XLA flat scatter (ops/reciprocal.py). The planned fix is lane-aligned windowed
-accumulation: read a (6, 6, 128)-aligned window, place the 6-wide block with a
-dynamic in-register roll, and write back — tracked for the next round.
 """
 
 from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -35,7 +34,9 @@ try:  # pragma: no cover - exercised on TPU
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
-HALO = 5  # stencil extent - 1 (order-6 spline touches 6 points per axis)
+HALO = 5          # stencil extent - 1 (order-6 spline touches 6 points/axis)
+_YW = 16          # aligned window extent in the sublane (y) dimension
+_ZW = 256         # aligned window extent in the lane (z) dimension
 
 
 def pallas_spread_available() -> bool:
@@ -43,16 +44,24 @@ def pallas_spread_available() -> bool:
 
 
 def _spread_kernel(counts_ref, m_u0_ref, q_ref, out_ref):
-    """One program = one x-slab. Atoms are pre-bucketed and padded per slab.
+    """One program = one x-slab. Atoms pre-bucketed and padded per slab.
 
-    counts_ref: (1,) SMEM — number of real atoms in this slab's bucket.
-    m_u0_ref:   (A, 3) VMEM — base indices, x already slab-relative.
-    q_ref:      (A, 6, 6, 6) VMEM — stencil weights.
-    out_ref:    (W+HALO, K2+HALO, K3+HALO) VMEM — padded slab accumulator.
+    counts_ref: (P,) SMEM — real atom count per slab bucket.
+    m_u0_ref:   (1, A, 3) VMEM — base indices, x slab-relative.
+    q_ref:      (1, A, 6, 36) VMEM — stencil weights, (y, z) flattened.
+    out_ref:    (1, W+HALO, K2pad, K3pad) VMEM — padded slab accumulator.
+
+    The 6-wide block is placed at its in-window (yo, zo) offset with separable
+    one-hot SELECT placement (static j/l unroll, vectorized compares) — pure
+    VPU work. Mosaic's compile helper crashes on dot_general inside fori_loop,
+    so no MXU placement here.
     """
     out_ref[...] = jnp.zeros_like(out_ref)
     count = counts_ref[pl.program_id(0)]
     a_max = m_u0_ref.shape[1]
+
+    y_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _YW, 1), 1)
+    z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _ZW), 2)
 
     def body(k, _):
         @pl.when(k < count)
@@ -60,9 +69,24 @@ def _spread_kernel(counts_ref, m_u0_ref, q_ref, out_ref):
             x0 = m_u0_ref[0, k, 0]
             y0 = m_u0_ref[0, k, 1]
             z0 = m_u0_ref[0, k, 2]
-            block = q_ref[0, k]
-            cur = out_ref[0, pl.ds(x0, 6), pl.ds(y0, 6), pl.ds(z0, 6)]
-            out_ref[0, pl.ds(x0, 6), pl.ds(y0, 6), pl.ds(z0, 6)] = cur + block
+            yb = (y0 // 8) * 8
+            zb = (z0 // 128) * 128
+            yo = y0 - yb
+            zo = z0 - zb
+            blk = q_ref[0, k]  # (6, 36) rows x, cols j*6+l
+            # z-combine: tmp[j] (6, ZW) = sum_l blk[:, j*6+l] placed at zo+l
+            upd = jnp.zeros((6, _YW, _ZW), blk.dtype)
+            for j in range(6):
+                tmp = jnp.zeros((6, 1, _ZW), blk.dtype)
+                for l in range(6):
+                    sel = (z_iota == zo + l).astype(blk.dtype)  # (1, 1, ZW)
+                    tmp = tmp + blk[:, j * 6 + l][:, None, None] * sel
+                pick = (y_iota == yo + j).astype(blk.dtype)  # (1, YW, 1)
+                upd = upd + tmp * pick
+            yb = pl.multiple_of(yb, 8)
+            zb = pl.multiple_of(zb, 128)
+            cur = out_ref[0, pl.ds(x0, 6), pl.ds(yb, _YW), pl.ds(zb, _ZW)]
+            out_ref[0, pl.ds(x0, 6), pl.ds(yb, _YW), pl.ds(zb, _ZW)] = cur + upd
         return 0
 
     jax.lax.fori_loop(0, a_max, body, 0)
@@ -73,6 +97,8 @@ def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False):
     k1, k2, k3 = grid_shape
     n = m_u0.shape[0]
     width = -(-k1 // n_slabs)
+    k2pad = k2 + _YW
+    k3pad = k3 + _ZW
 
     # base index of the stencil block (offsets are -3..2 relative to m_u0)
     base = jnp.stack(
@@ -88,18 +114,20 @@ def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False):
     order = jnp.argsort(slab_id)
     sorted_ids = slab_id[order]
     base_s = base[order]
-    q_s = q_points[order]
+    q_s = q_points[order].reshape(n, 6, 36)
 
-    # per-slab bucket layout with a uniform capacity
     starts = jnp.searchsorted(sorted_ids, jnp.arange(n_slabs))
     ends = jnp.searchsorted(sorted_ids, jnp.arange(n_slabs) + 1)
     counts = (ends - starts).astype(jnp.int32)
-    cap = n  # conservative static capacity; masked by counts
+    # static per-slab capacity: 2.5x the mean, bounded by n. Keeping it small
+    # matters: Pallas double-buffers VMEM inputs, and the slab accumulator is
+    # already several MB. Overflow is reported to the caller.
+    cap = min(n, int(np.ceil(n / n_slabs * 2.5)) + 32)
+    overflow = jnp.any(counts > cap)
 
-    # gather each slab's atoms into (n_slabs, cap, ...) padded arrays
     take = starts[:, None] + jnp.arange(cap)[None, :]
     take = jnp.minimum(take, n - 1)
-    m_b = base_s[take]  # (P, cap, 3)
+    m_b = base_s[take]
     m_b = m_b.at[..., 0].add(-(jnp.arange(n_slabs) * width)[:, None])
     q_b = q_s[take]
 
@@ -110,47 +138,103 @@ def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, cap, 3), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, cap, 6, 6, 6), lambda p: (p, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
+                (1, cap, 6, 36), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, width + HALO, k2 + HALO, k3 + HALO),
+            (1, width + HALO, k2pad, k3pad),
             lambda p: (p, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (n_slabs, width + HALO, k2 + HALO, k3 + HALO), q_points.dtype
+            (n_slabs, width + HALO, k2pad, k3pad), q_points.dtype
         ),
         interpret=interpret,
     )(counts, m_b, q_b)
 
     # fold padded slabs back into the periodic (K1, K2, K3) mesh
-    mesh_pad = jnp.zeros((k1 + width + HALO, k2 + HALO, k3 + HALO), q_points.dtype)
+    mesh_pad = jnp.zeros((n_slabs * width + HALO, k2pad, k3pad), q_points.dtype)
     for p in range(n_slabs):
         mesh_pad = jax.lax.dynamic_update_slice(
             mesh_pad,
             jax.lax.dynamic_slice(
-                mesh_pad, (p * width, 0, 0), (width + HALO, k2 + HALO, k3 + HALO)
+                mesh_pad, (p * width, 0, 0), (width + HALO, k2pad, k3pad)
             )
             + out[p],
             (p * width, 0, 0),
         )
-    # x wrap
+    # x wrap (slabs may extend past k1)
+    extra = mesh_pad.shape[0] - k1
     mesh = mesh_pad[:k1]
-    mesh = mesh.at[: width + HALO].add(mesh_pad[k1:])
+    mesh = mesh.at[:extra].add(mesh_pad[k1:])
     # y, z wraps
-    mesh = mesh.at[:, :HALO, :].add(mesh[:, k2:, :])[:, :k2, :]
-    mesh = mesh.at[:, :, :HALO].add(mesh[:, :, k3:])[:, :, :k3]
-    return mesh
+    mesh = mesh.at[:, : _YW, :].add(mesh[:, k2:, :])[:, :k2, :]
+    mesh = mesh.at[:, :, : _ZW].add(mesh[:, :, k3:])[:, :, :k3]
+    return mesh, overflow
 
 
-def spread_to_mesh_pallas(m_u0, q_points, grid_shape, n_slabs=8, interpret=False):
+def spread_to_mesh_pallas(m_u0, q_points, grid_shape, n_slabs=16, interpret=False):
     """Spread (N, 6, 6, 6) stencil weights at base indices m_u0 onto the mesh.
 
     Equivalent to the XLA scatter path in ops/reciprocal.py (same math, same
-    result); forward runs as a Pallas slab kernel.
+    result up to f32 summation order); forward runs as a Pallas slab kernel.
+    Returns (mesh, overflow_flag) — on overflow (a slab bucket denser than the
+    2.5x-mean static capacity) callers must fall back to the XLA scatter.
     """
     return _pallas_spread_impl(
         m_u0, q_points, tuple(int(k) for k in grid_shape), int(n_slabs), interpret
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentiable production wrapper
+# ---------------------------------------------------------------------------
+
+
+def _xla_scatter(m_u0, q_points, grid_shape):
+    k1, k2, k3 = grid_shape
+    offsets = jnp.arange(-3, 3)
+    i1 = jnp.mod(m_u0[:, 0:1] + offsets[None], k1)
+    i2 = jnp.mod(m_u0[:, 1:2] + offsets[None], k2)
+    i3 = jnp.mod(m_u0[:, 2:3] + offsets[None], k3)
+    flat = (
+        (i1[:, :, None, None] * k2 + i2[:, None, :, None]) * k3
+        + i3[:, None, None, :]
+    ).reshape(-1)
+    mesh = jnp.zeros((k1 * k2 * k3,), q_points.dtype)
+    return mesh.at[flat].add(q_points.reshape(-1)).reshape(k1, k2, k3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def spread_blocks(m_u0, q_points, grid_shape, n_slabs=16, interpret=False):
+    """Differentiable block spread: Pallas slab kernel forward (with automatic
+    fallback to the XLA scatter if a slab bucket overflows), block-gather
+    adjoint. Same contract as the XLA scatter path. ``interpret=True`` runs the
+    kernel in the Pallas interpreter (CPU testing)."""
+    mesh, overflow = _pallas_spread_impl(
+        m_u0, q_points, grid_shape, n_slabs, interpret
+    )
+    return jax.lax.cond(
+        overflow,
+        lambda: _xla_scatter(m_u0, q_points, grid_shape),
+        lambda: mesh,
+    )
+
+
+def _spread_blocks_fwd(m_u0, q_points, grid_shape, n_slabs=16, interpret=False):
+    return spread_blocks(m_u0, q_points, grid_shape, n_slabs, interpret), m_u0
+
+
+def _spread_blocks_bwd(grid_shape, n_slabs, interpret, m_u0, g_mesh):
+    k1, k2, k3 = grid_shape
+    offsets = jnp.arange(-3, 3)
+    i1 = jnp.mod(m_u0[:, 0:1] + offsets[None], k1)
+    i2 = jnp.mod(m_u0[:, 1:2] + offsets[None], k2)
+    i3 = jnp.mod(m_u0[:, 2:3] + offsets[None], k3)
+    g_q = g_mesh[
+        i1[:, :, None, None], i2[:, None, :, None], i3[:, None, None, :]
+    ]
+    return None, g_q
+
+
+spread_blocks.defvjp(_spread_blocks_fwd, _spread_blocks_bwd)

@@ -125,7 +125,8 @@ def spread_weights(u0, dug_dx, lmax: int):
 
 
 def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
-                   atom_chunk: int | None = None):
+                   atom_chunk: int | None = None, method: str = "scatter",
+                   interpret: bool = False):
     """Spread harmonic multipoles onto the (K1, K2, K3) charge mesh.
 
     Quadrupole channels carry the 1/3 prefactor of the MPID convention
@@ -147,7 +148,9 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
 
         def body(mesh, blk):
             p_blk, q_blk = blk
-            return mesh + spread_to_mesh(p_blk, box, q_blk, grid_shape, lmax), 0.0
+            return mesh + spread_to_mesh(
+                p_blk, box, q_blk, grid_shape, lmax, None, method, interpret
+            ), 0.0
 
         mesh0 = jnp.zeros((k1, k2, k3), q_harm.dtype)
         mesh, _ = jax.lax.scan(body, mesh0, (pos_b, q_b))
@@ -159,6 +162,13 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
     if lmax >= 2:
         q = jnp.concatenate([q[:, :4], q[:, 4:9] / 3.0], axis=-1)
     q_points = jnp.einsum("ah,aijkh->aijk", q, weights)  # (N,6,6,6)
+
+    if method == "pallas":
+        # Pallas slab kernel forward + gather adjoint (ops/pallas/spread.py);
+        # measured ~1.6x over the XLA scatter at water_1024 scale on v5e
+        from admp_tpu.ops.pallas.spread import spread_blocks
+
+        return spread_blocks(m_u0, q_points, grid_shape, 16, interpret)
 
     offsets = jnp.arange(-3, 3)
     idx1 = jnp.mod(m_u0[:, 0:1] + offsets[None, :], k1)  # (N,6)
@@ -315,7 +325,8 @@ def convolve_energy(mesh, box, kappa, ck_fn, include_gamma: bool, prefactor=1.0)
     return prefactor * energy
 
 
-def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0):
+def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0,
+                   spread_method: str = "scatter"):
     """Build a reciprocal-space energy function (positions, box, Q) -> energy.
 
     Matches the reference factory generate_pme_recip (admp/recip.py:21) with
@@ -326,7 +337,7 @@ def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0)
     def pme_recip(positions, box, q_harm):
         atom_chunk = 4096 if positions.shape[0] > 16384 else None
         mesh = spread_to_mesh(
-            positions, box, q_harm, grid_shape, lmax, atom_chunk
+            positions, box, q_harm, grid_shape, lmax, atom_chunk, spread_method
         )
         return convolve_energy(mesh, box, kappa, ck_fn, include_gamma, prefactor)
 

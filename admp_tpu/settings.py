@@ -24,6 +24,17 @@ import jax
 # Honour an env switch for debugging (disable jit to get eager tracebacks).
 DO_JIT = os.environ.get("ADMP_TPU_DISABLE_JIT", "0") != "1"
 
+# On TPU, f32 matmuls/einsums default to bf16 MXU passes. Every geometric
+# contraction in this engine (PBC fractional transforms, frame rotations,
+# quadrupole conjugations, spread-weight products) is a tiny 3x3 .. 9x9
+# operation whose 8-bit-mantissa truncation destroys the large cancellations
+# Ewald sums rely on (measured: water_1024 electrostatic energy 1644 vs 148
+# kJ/mol). Requesting full-f32 MXU passes costs nothing at these shapes.
+# Opt out with ADMP_TPU_MATMUL_PRECISION=default (e.g. for ML-potential
+# hybrids that manage precision themselves).
+if os.environ.get("ADMP_TPU_MATMUL_PRECISION", "highest") == "highest":
+    jax.config.update("jax_default_matmul_precision", "highest")
+
 # Induced-dipole SCF defaults, matching the reference convergence envelope
 # (reference: admp/settings.py:29-30): residual field below POL_CONV (kJ/mol/A/e)
 # within at most MAX_N_POL iterations.

@@ -24,5 +24,35 @@ def test_pallas_spread_matches_scatter(k, n, slabs):
         .at[i1[:, :, None, None], i2[:, None, :, None], i3[:, None, None, :]]
         .add(q)
     )
-    out = spread_to_mesh_pallas(m_u0, q, (k, k, k), n_slabs=slabs, interpret=True)
+    out, overflow = spread_to_mesh_pallas(m_u0, q, (k, k, k), n_slabs=slabs, interpret=True)
+    assert not bool(overflow)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_spread_blocks_custom_vjp_matches_scatter():
+    import jax
+
+    from admp_tpu.ops.harmonics import convert_cart2harm
+    from admp_tpu.ops.reciprocal import spread_to_mesh
+    from admp_tpu.systems import water_system
+
+    if not pallas_spread_available():
+        pytest.skip("pallas unavailable")
+    s = water_system(n_side=3, seed=9)
+    pos = jnp.asarray(s["positions"], jnp.float32)
+    box = jnp.asarray(s["box"], jnp.float32)
+    q = convert_cart2harm(jnp.asarray(s["q_cart"], jnp.float32), 2)
+    a = spread_to_mesh(pos, box, q, (24, 24, 24), 2)
+    b = spread_to_mesh(pos, box, q, (24, 24, 24), 2, method="pallas",
+                       interpret=True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+    ga = jax.grad(
+        lambda p: jnp.sum(spread_to_mesh(p, box, q, (24, 24, 24), 2) ** 2)
+    )(pos)
+    gb = jax.grad(
+        lambda p: jnp.sum(
+            spread_to_mesh(p, box, q, (24, 24, 24), 2, method="pallas",
+                           interpret=True) ** 2
+        )
+    )(pos)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), atol=2e-5)
