@@ -69,9 +69,12 @@ def _eval_pieces(u0, coeff_table):
       (..., 6, 3): value of stencil offset k (axis -2) for each dimension.
     """
     outs = []
+    # cast coefficients to the input dtype: numpy f64 scalars would otherwise
+    # promote f32 arrays to f64 under jax_enable_x64 (mixed-precision runs)
+    table = coeff_table.astype(np.result_type(u0.dtype))
     for k in range(ORDER):
         u = u0 + (k - 3.0)
-        c = coeff_table[k]
+        c = table[k]
         acc = jnp.full_like(u, c[-1])
         for p in range(len(c) - 2, -1, -1):
             acc = acc * u + c[p]
@@ -101,6 +104,6 @@ def euler_spline_theta(kpts_int_axis, n_axis):
     (reference computes the same sum at runtime: admp/recip.py:400-408):
       theta(k) = 11/20 + (13/30) cos(2 pi k / N) + (1/60) cos(4 pi k / N)
     """
-    b = jnp.asarray(B6_KNOTS)
+    b = jnp.asarray(B6_KNOTS, dtype=kpts_int_axis.dtype)
     ang = 2.0 * jnp.pi * kpts_int_axis / n_axis
     return b[2] + 2.0 * b[1] * jnp.cos(ang) + 2.0 * b[0] * jnp.cos(2.0 * ang)

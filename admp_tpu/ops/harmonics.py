@@ -83,7 +83,7 @@ def convert_cart2harm(theta, lmax: int):
     if lmax > 2:
         raise NotImplementedError("l > 2 (beyond quadrupole) not supported")
     n_cart = {0: 1, 1: 4, 2: 10}[lmax]
-    mat = jnp.asarray(_cart2harm_matrix(lmax))
+    mat = jnp.asarray(_cart2harm_matrix(lmax), dtype=theta.dtype)
     return theta[..., :n_cart] @ mat.T
 
 
@@ -91,7 +91,7 @@ def convert_harm2cart(q, lmax: int):
     """Real spherical harmonics -> Cartesian multipoles (traceless quadrupole)."""
     if lmax > 2:
         raise NotImplementedError("l > 2 (beyond quadrupole) not supported")
-    mat = jnp.asarray(_harm2cart_matrix(lmax))
+    mat = jnp.asarray(_harm2cart_matrix(lmax), dtype=q.dtype)
     return q @ mat.T
 
 

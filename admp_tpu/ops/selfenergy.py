@@ -21,7 +21,8 @@ def pme_self_energy(q_harm, kappa, lmax: int = 2):
     l_list = np.array([0] + [1] * 3 + [2] * 5)[:n_harm]
     l_fac2 = np.array([1] + [3] * 3 + [15] * 5)[:n_harm]
     factor = kappa / np.sqrt(np.pi) * (2.0 * kappa**2) ** l_list / l_fac2
-    return -jnp.sum(jnp.asarray(factor)[None, :] * q_harm[:, :n_harm] ** 2) * DIELECTRIC
+    factor = jnp.asarray(factor, dtype=q_harm.dtype)
+    return -jnp.sum(factor[None, :] * q_harm[:, :n_harm] ** 2) * DIELECTRIC
 
 
 def polarization_penalty(u_ind, pol):

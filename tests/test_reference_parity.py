@@ -289,3 +289,53 @@ def test_scf_fixed_point_matches_reference_jacobi(ref, small_water):
         )
     )
     np.testing.assert_allclose(float(e_my), e_ref, atol=1e-3)
+
+
+@pytest.mark.parametrize("lmax", [0, 1])
+def test_real_space_lower_lmax(ref, small_water, lmax):
+    """Charge-only and dipole-truncated real-space paths (the reference's
+    lmax branches at admp/pme.py:304-332)."""
+    from admp_tpu.models.pme import pme_real_energy
+
+    sysd = small_water
+    pos, box, _, q_global = _prep(sysd, ref)
+    q = q_global[:, : (lmax + 1) ** 2]
+    cov = sysd["covalent_map"]
+    pairs = _pairs_all(pos.shape[0])
+    e_ref = ref.pme.pme_real(
+        pos, box, pairs, q, None, None, None, M_SCALES, None, None,
+        cov, KAPPA, lmax, False,
+    )
+    e_my = pme_real_energy(
+        pos, box, pairs, q, None, None, None, M_SCALES, None,
+        jnp.asarray(cov), KAPPA, lmax, False,
+    )
+    np.testing.assert_allclose(float(e_my), float(e_ref), rtol=1e-12)
+
+
+def test_jacobi_mode_matches_pcg(ref, small_water):
+    """The reference-style damped-Jacobi solver mode must reach the same fixed
+    point as PCG (scf/solver.py keeps it for cross-validation)."""
+    from admp_tpu import ADMPPmeForce, SCFConfig
+
+    sysd = small_water
+    pos = jnp.asarray(sysd["positions"])
+    box = jnp.asarray(sysd["box"])
+    q_local = ref.multipole.convert_cart2harm(jnp.asarray(sysd["q_cart"]), 2)
+    pairs = _pairs_all(pos.shape[0])
+    pol = jnp.asarray(sysd["pol"])
+    tholes = jnp.asarray(sysd["tholes"])
+    sols = {}
+    for method in ("pcg", "jacobi"):
+        force = ADMPPmeForce(
+            box, sysd["axis_types"], sysd["axis_indices"], sysd["covalent_map"],
+            4.0, 1e-3, 2, lpol=True,
+            scf_config=SCFConfig(method=method, field_tol=0.01, max_iter=100),
+        )
+        force.get_energy(
+            pos, box, pairs, q_local, pol, tholes, M_SCALES, M_SCALES,
+            M_SCALES, U_init=jnp.zeros((pos.shape[0], 3)),
+        )
+        assert bool(force.lconverg), method
+        sols[method] = np.asarray(force.U_ind)
+    np.testing.assert_allclose(sols["jacobi"], sols["pcg"], atol=1e-4)
