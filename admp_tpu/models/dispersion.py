@@ -62,7 +62,8 @@ class ADMPDispPmeForce:
     """Dispersion PME calculator with the reference's public surface
     (reference: admp/disp_pme.py:20-77)."""
 
-    def __init__(self, box, covalent_map, rc, ethresh, pmax):
+    def __init__(self, box, covalent_map, rc, ethresh, pmax,
+                 cache_influence: bool = False, fft_friendly_grid: bool = False):
         from admp_tpu.ops.exclusions import SparseExclusions
 
         self.covalent_map = (
@@ -73,7 +74,15 @@ class ADMPDispPmeForce:
         self.rc = rc
         self.ethresh = ethresh
         self.pmax = int(pmax)
-        kappa, k1, k2, k3 = setup_ewald_parameters(rc, ethresh, box)
+        # fixed-cell fast path: precompute the erfc influence grids once
+        # (disables box gradients through the dispersion influence term)
+        self._static_box = jnp.asarray(box) if cache_influence else None
+        if fft_friendly_grid:
+            from admp_tpu.ops.ewald import setup_ewald_parameters_fft
+
+            kappa, k1, k2, k3 = setup_ewald_parameters_fft(rc, ethresh, box)
+        else:
+            kappa, k1, k2, k3 = setup_ewald_parameters(rc, ethresh, box)
         self.kappa = kappa
         self.K1, self.K2, self.K3 = k1, k2, k3
         self.pme_order = 6
@@ -90,7 +99,9 @@ class ADMPDispPmeForce:
             cks.append(ck_8)
         if self.pmax >= 10:
             cks.append(ck_10)
-        recip_fn = make_disp_pme_recip(cks, self.kappa, grid)
+        recip_fn = make_disp_pme_recip(
+            cks, self.kappa, grid, static_box=getattr(self, "_static_box", None)
+        )
         covalent_map = self.covalent_map
         kappa, pmax = self.kappa, self.pmax
 

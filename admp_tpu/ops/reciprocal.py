@@ -198,19 +198,31 @@ def spread_to_mesh_multi(positions, box, coeffs, grid_shape):
       (K1, K2, K3, C) meshes.
     """
     k1, k2, k3 = grid_shape
+    n = positions.shape[0]
     m_u0, u0, _ = mesh_coordinates(positions, box, grid_shape)
     m = bsplines.spline_values(u0)  # (N, 6, 3)
-    theta = jnp.einsum("ai,aj,ak->aijk", m[..., 0], m[..., 1], m[..., 2])
-    q_points = theta[..., None] * coeffs[:, None, None, None, :]  # (N,6,6,6,C)
+    # flat (N, 216) stencil weights: small trailing dims like (6, 6, 6, C)
+    # tile-pad ~20x on TPU (sublane 8 x lane 128), so keep the last dimension
+    # wide at every materialization point
+    txy = (m[:, :, None, 0] * m[:, None, :, 1]).reshape(n, 36)
+    theta = (txy[:, :, None] * m[:, None, :, 2]).reshape(n, 216)
 
     offsets = jnp.arange(-3, 3)
     idx1 = jnp.mod(m_u0[:, 0:1] + offsets[None, :], k1)
     idx2 = jnp.mod(m_u0[:, 1:2] + offsets[None, :], k2)
     idx3 = jnp.mod(m_u0[:, 2:3] + offsets[None, :], k3)
-    mesh = jnp.zeros((k1, k2, k3, coeffs.shape[-1]), dtype=q_points.dtype)
-    return mesh.at[
-        idx1[:, :, None, None], idx2[:, None, :, None], idx3[:, None, None, :]
-    ].add(q_points)
+    flat = (
+        (idx1[:, :, None, None] * k2 + idx2[:, None, :, None]) * k3
+        + idx3[:, None, None, :]
+    ).reshape(n, 216)
+    n_ch = coeffs.shape[-1]
+    # one flat 1D scatter over all channels: channel c lives at offset c*K^3
+    kcube = k1 * k2 * k3
+    all_idx = (flat[None, :, :] + (jnp.arange(n_ch) * kcube)[:, None, None])
+    vals = theta[None, :, :] * coeffs.T[:, :, None]  # (C, N, 216)
+    mesh = jnp.zeros((n_ch * kcube,), dtype=theta.dtype)
+    mesh = mesh.at[all_idx.reshape(-1)].add(vals.reshape(-1))
+    return jnp.moveaxis(mesh.reshape(n_ch, k1, k2, k3), 0, -1)
 
 
 def convolve_energy_multi(meshes, box, kappa, ck_fns, include_gamma, prefactor=1.0):
@@ -236,17 +248,51 @@ def convolve_energy_multi(meshes, box, kappa, ck_fns, include_gamma, prefactor=1
     return prefactor * energy
 
 
-def make_disp_pme_recip(ck_fns, kappa, grid_shape):
+def make_disp_pme_recip(ck_fns, kappa, grid_shape, static_box=None):
     """Multi-channel dispersion reciprocal engine: one spread, one batched FFT
     for all C6/C8/C10 grids (3x fewer scatter and FFT passes than the
-    per-channel pipeline the reference uses, admp/disp_pme.py:61-77)."""
+    per-channel pipeline the reference uses, admp/disp_pme.py:61-77).
+
+    ``static_box``: when the cell is fixed (NVT/NVE MD), pass the box here to
+    precompute the erfc-based influence grids once as device constants —
+    the per-step convolution reduces to multiply-and-sum. Box gradients
+    (virial) through the dispersion influence term are then *not* tracked;
+    leave None for NPT / virial workloads.
+    """
     grid_shape = tuple(int(k) for k in grid_shape)
     ck_fns = tuple(ck_fns)
+
+    cached = None
+    if static_box is not None:
+        box0 = jnp.asarray(static_box)
+        dtype = jnp.zeros(0).dtype
+        ksq, theta_sq = k_space_grids(box0, grid_shape, dtype, rfft=True)
+        volume = jnp.linalg.det(box0)
+        w3 = _hermitian_weights(grid_shape[2], dtype)
+        nonzero = ksq > 0.0
+        ksq_safe = jnp.where(nonzero, ksq, 1.0)
+        weights = []
+        gammas = []
+        for ck_fn in ck_fns:
+            c_k = jnp.where(nonzero, ck_fn(ksq_safe, kappa, volume), 0.0)
+            weights.append(c_k / theta_sq * w3[None, None, :])
+            gammas.append(ck_fn.at_zero(kappa, volume) / theta_sq[0, 0, 0])
+        cached = (tuple(weights), tuple(gammas))
 
     def disp_recip(positions, box, c_list):
         meshes = spread_to_mesh_multi(
             positions, box, c_list[:, : len(ck_fns)], grid_shape
         )
+        if cached is not None:
+            weights, gammas = cached
+            s_k = jnp.fft.rfftn(meshes, axes=(0, 1, 2))
+            s_sq = jnp.real(s_k * jnp.conj(s_k))
+            energy = 0.0
+            for c in range(len(ck_fns)):
+                energy = energy + jnp.sum(
+                    weights[c].astype(s_sq.dtype) * s_sq[..., c]
+                ) + gammas[c] * s_sq[0, 0, 0, c]
+            return energy
         return convolve_energy_multi(meshes, box, kappa, ck_fns, True)
     # NOTE: dispersion spreading is lmax=0 (theta only), whose intermediates
     # are (N, 216)-shaped after the outer product — no chunking needed at 100k

@@ -75,12 +75,17 @@ def build_workload():
     q_local = convert_cart2harm(jnp.asarray(q_cart), 2)
     m_scales = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0])
 
+    # reference-parity configuration (K from the OpenMM heuristic, kappa
+    # pinned to the MPID value); fixed-cell influence caching for dispersion
     pme = ADMPPmeForce(
-        box_j, axis_types, axis_indices, covalent_map, rc, ethresh, lmax=2
+        box_j, axis_types, axis_indices, covalent_map, rc, ethresh, lmax=2,
     )
     pme.update_env("kappa", 0.657065221219616)
-    disp = ADMPDispPmeForce(box_j, covalent_map, rc, ethresh, pmax=10)
-    disp.update_env("kappa", 0.657065221219616)
+    disp = ADMPDispPmeForce(
+        box_j, covalent_map, rc, ethresh, pmax=10, cache_influence=True,
+    )
+    disp.kappa = 0.657065221219616
+    disp.refresh_calculators()
     tt = generate_pairwise_interaction(tt_damping_qq_c6_kernel, covalent_map)
 
     c_j = jnp.asarray(c_list)

@@ -145,3 +145,21 @@ def test_tt_damping_regression(water1024, pairs1024):
     )
     np.testing.assert_allclose(float(energy), REF_TT, rtol=1e-10)
     assert np.all(np.isfinite(np.asarray(forces)))
+
+
+def test_dispersion_cached_influence_matches(water1024, pairs1024):
+    """Fixed-cell influence caching must be numerically identical to the
+    dynamic path (it is the same math with the grids precomputed)."""
+    sys = water1024
+    c_list, _, _, _ = water_tt_disp_params(sys.n_atoms)
+    force = ADMPDispPmeForce(
+        jnp.asarray(sys.box), sys.covalent_map, RC, ETHRESH, pmax=10,
+        cache_influence=True,
+    )
+    force.kappa = KAPPA_MPID
+    force.refresh_calculators()
+    energy = force.get_energy(
+        jnp.asarray(sys.positions), jnp.asarray(sys.box), pairs1024,
+        c_list, M_SCALES,
+    )
+    np.testing.assert_allclose(float(energy), REF_DISP, rtol=1e-10)
