@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from admp_tpu.utils.accmath import exp_accurate
+
 
 def g_screening(x2, pmax: int):
     """g_p(x^2) incomplete-gamma screening polynomials times exp(-x^2).
@@ -16,7 +18,7 @@ def g_screening(x2, pmax: int):
     three arrays (g6, g8, g10).
     """
     x4 = x2 * x2
-    exp_x2 = jnp.exp(-x2)
+    exp_x2 = exp_accurate(-x2)
     g6 = 1.0 + x2 + 0.5 * x4
     out = [g6]
     if pmax >= 8:

@@ -11,6 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import jax.scipy.special as jss
 
+from admp_tpu.utils.accmath import exp_accurate
 from admp_tpu.utils.constants import SQRT_PI
 
 
@@ -20,7 +21,7 @@ def ck_1(ksq, kappa, volume):
     Diverges at k=0 — electrostatics always excludes the gamma point
     (reference: admp/recip.py:413-415).
     """
-    return 2.0 * jnp.pi / volume / ksq * jnp.exp(-ksq / 4.0 / kappa**2)
+    return 2.0 * jnp.pi / volume / ksq * exp_accurate(-ksq / 4.0 / kappa**2)
 
 
 ck_1.at_zero = None  # gamma point must be excluded
@@ -29,7 +30,7 @@ ck_1.at_zero = None  # gamma point must be excluded
 def _x_terms(ksq, kappa):
     x2 = ksq / 4.0 / kappa**2
     x = jnp.sqrt(x2)
-    return x, x2, jnp.exp(-x2), jss.erfc(x)
+    return x, x2, exp_accurate(-x2), jss.erfc(x)
 
 
 def ck_6(ksq, kappa, volume):

@@ -26,6 +26,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax.scipy.special import erf
 
+from admp_tpu.utils.accmath import exp_accurate
 from admp_tpu.utils.constants import DEFAULT_THOLE_WIDTH, DIELECTRIC, SQRT_PI
 
 
@@ -61,7 +62,7 @@ def perm_coefficients(r, mscale, kappa, lmax: int):
     kr2 = kr * kr
     kr3 = kr2 * kr
     kr5 = kr3 * kr2
-    x = 2.0 * jnp.exp(-kr2) / SQRT_PI
+    x = 2.0 * exp_accurate(-kr2) / SQRT_PI
     b2, b3, b4 = ewald_screening_b(kr, x)
 
     out = {"cc": d1 * (mscale + b2 - kr * x)}
@@ -88,7 +89,7 @@ def thole_factors(u_scaled):
     au > 50 becomes a plain where.
     """
     au = u_scaled
-    exp_au = jnp.where(au < 50.0, jnp.exp(-jnp.minimum(au, 50.0)), 0.0)
+    exp_au = jnp.where(au < 50.0, exp_accurate(-jnp.minimum(au, 50.0)), 0.0)
     au2 = au * au
     au3 = au2 * au
     au4 = au3 * au
@@ -126,7 +127,7 @@ def induced_coefficients(r, thole1, thole2, dmp, pscale, kappa, lmax: int):
     kr2 = kr * kr
     kr3 = kr2 * kr
     kr5 = kr3 * kr2
-    x = 2.0 * jnp.exp(-kr2) / SQRT_PI
+    x = 2.0 * exp_accurate(-kr2) / SQRT_PI
     b2, b3, _ = ewald_screening_b(kr, x)
 
     out = {"cud": 2.0 * d2 * (pscale * tc + b2)}

@@ -10,6 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from admp_tpu.ops.pbc import pbc_shift
+from admp_tpu.utils.accmath import exp_accurate
 from admp_tpu.utils.constants import ANGSTROM_TO_BOHR, HARTREE_TO_KJMOL
 
 
@@ -105,7 +106,7 @@ def tt_damping_qq_c6_kernel(r, mscale, a_i, a_j, b_i, b_j, q_i, q_j, c_i, c_j):
     br4 = br3 * br
     br5 = br4 * br
     br6 = br5 * br
-    exp_br = jnp.exp(-br)
+    exp_br = exp_accurate(-br)
     poly = 1.0 + br + br2 / 2.0 + br3 / 6.0 + br4 / 24.0 + br5 / 120.0 + br6 / 720.0
     e = (
         HARTREE_TO_KJMOL * a * exp_br

@@ -73,3 +73,18 @@ def test_euler_spline_matches_direct_sum():
     npt.assert_allclose(
         np.asarray(bsplines.euler_spline_theta(k, n)), direct, atol=1e-12
     )
+
+
+def test_exp_accurate_f32():
+    from admp_tpu.utils.accmath import exp_accurate
+
+    y = jnp.asarray(np.linspace(-30.0, 5.0, 200001), jnp.float32)
+    got = np.asarray(exp_accurate(y), np.float64)
+    ref = np.exp(np.asarray(y, np.float64))
+    rel = np.abs(got - ref) / ref
+    assert rel.max() < 3e-7
+    # f64 passthrough stays exact
+    y64 = jnp.asarray([-2.0, 0.0, 3.0], jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(exp_accurate(y64)), np.exp(np.asarray(y64)), rtol=1e-15
+    )
