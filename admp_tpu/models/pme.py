@@ -208,6 +208,7 @@ class ADMPPmeForce:
         scf_config: SCFConfig | None = None,
         fft_friendly_grid: bool = False,
         spread_method: str = "scatter",
+        spread_precision: str | None = None,
     ):
         self.axis_type = jnp.asarray(axis_type)
         self.axis_indices = jnp.asarray(axis_indices)
@@ -234,6 +235,7 @@ class ADMPPmeForce:
         self.lpol = bool(lpol)
         self.scf_config = scf_config or SCFConfig()
         self.spread_method = spread_method
+        self.spread_precision = spread_precision
         self.U_ind = jnp.zeros((self.n_atoms, 3))
         self.lconverg = None
         self.n_cycle = None
@@ -254,6 +256,7 @@ class ADMPPmeForce:
             lmax=self.lmax,
             prefactor=DIELECTRIC,
             spread_method=getattr(self, "spread_method", "scatter"),
+            spread_precision=getattr(self, "spread_precision", None),
         )
         if self.lpol:
             self._build_polarizable()

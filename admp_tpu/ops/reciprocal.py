@@ -126,7 +126,7 @@ def spread_weights(u0, dug_dx, lmax: int):
 
 def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
                    atom_chunk: int | None = None, method: str = "scatter",
-                   interpret: bool = False):
+                   interpret: bool = False, precision: str | None = None):
     """Spread harmonic multipoles onto the (K1, K2, K3) charge mesh.
 
     Quadrupole channels carry the 1/3 prefactor of the MPID convention
@@ -134,6 +134,14 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
 
     ``atom_chunk``: accumulate the mesh over fixed-size atom blocks (lax.scan)
     to bound the (N, 6, 6, 6, n_harm) weight intermediates at large N.
+
+    ``precision='f64'``: evaluate the B-spline weight pipeline (spline
+    polynomials, harmonic gradient operators, per-atom contraction — all tiny
+    (N, 6, ...) arrays) in float64 and round the per-atom stencil values back
+    to the working dtype before the scatter. Measured on water_1024: the
+    weight pipeline carries essentially ALL of the f32 reciprocal force error
+    (3.6e-4 -> 6.7e-6 relative with this on; scatter/FFT/convolution rounding
+    is negligible). Requires jax_enable_x64.
     """
     k1, k2, k3 = grid_shape
     if atom_chunk is not None and positions.shape[0] > atom_chunk:
@@ -149,19 +157,28 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
         def body(mesh, blk):
             p_blk, q_blk = blk
             return mesh + spread_to_mesh(
-                p_blk, box, q_blk, grid_shape, lmax, None, method, interpret
+                p_blk, box, q_blk, grid_shape, lmax, None, method, interpret,
+                precision,
             ), 0.0
 
         mesh0 = jnp.zeros((k1, k2, k3), q_harm.dtype)
         mesh, _ = jax.lax.scan(body, mesh0, (pos_b, q_b))
         return mesh
-    m_u0, u0, dug_dx = mesh_coordinates(positions, box, grid_shape)
+    work_dtype = q_harm.dtype
+    if precision == "f64":
+        positions_w = positions.astype(jnp.float64)
+        box_w = box.astype(jnp.float64)
+        q_w = q_harm.astype(jnp.float64)
+    else:
+        positions_w, box_w, q_w = positions, box, q_harm
+    m_u0, u0, dug_dx = mesh_coordinates(positions_w, box_w, grid_shape)
     weights = spread_weights(u0, dug_dx, lmax)  # (N,6,6,6,H)
 
-    q = q_harm[:, : (lmax + 1) ** 2]
+    q = q_w[:, : (lmax + 1) ** 2]
     if lmax >= 2:
         q = jnp.concatenate([q[:, :4], q[:, 4:9] / 3.0], axis=-1)
     q_points = jnp.einsum("ah,aijkh->aijk", q, weights)  # (N,6,6,6)
+    q_points = q_points.astype(work_dtype)
 
     if method == "pallas":
         # Pallas slab kernel forward + gather adjoint (ops/pallas/spread.py);
@@ -372,7 +389,8 @@ def convolve_energy(mesh, box, kappa, ck_fn, include_gamma: bool, prefactor=1.0)
 
 
 def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0,
-                   spread_method: str = "scatter"):
+                   spread_method: str = "scatter",
+                   spread_precision: str | None = None):
     """Build a reciprocal-space energy function (positions, box, Q) -> energy.
 
     Matches the reference factory generate_pme_recip (admp/recip.py:21) with
@@ -383,7 +401,8 @@ def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0,
     def pme_recip(positions, box, q_harm):
         atom_chunk = 4096 if positions.shape[0] > 16384 else None
         mesh = spread_to_mesh(
-            positions, box, q_harm, grid_shape, lmax, atom_chunk, spread_method
+            positions, box, q_harm, grid_shape, lmax, atom_chunk, spread_method,
+            False, spread_precision,
         )
         return convolve_energy(mesh, box, kappa, ck_fn, include_gamma, prefactor)
 

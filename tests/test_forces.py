@@ -154,3 +154,40 @@ def test_virial_via_box_gradient(small):
         2 * eps
     )
     np.testing.assert_allclose(float(g[0, 0]), fd, rtol=1e-4)
+
+
+def test_f64_weight_pipeline_cuts_recip_force_error(small):
+    """spread_precision='f64' must remove the B-spline weight rounding that
+    dominates f32 reciprocal force error (measured 50x on water_1024)."""
+    sysd = small
+    import admp_tpu.ops.reciprocal as R
+    from admp_tpu.ops.frames import construct_local_frames
+    from admp_tpu.ops.harmonics import rot_local2global
+    from admp_tpu.ops.influence import ck_1
+    from admp_tpu.utils.constants import DIELECTRIC
+
+    grid = (24, 24, 24)
+
+    def forces(dtype, precision=None):
+        pos = jnp.asarray(sysd["positions"], dtype)
+        box = jnp.asarray(sysd["box"], dtype)
+        ql = convert_cart2harm(jnp.asarray(sysd["q_cart"], dtype), 2)
+
+        def e(p):
+            qg = rot_local2global(
+                ql,
+                construct_local_frames(
+                    p, box, jnp.asarray(sysd["axis_types"]),
+                    jnp.asarray(sysd["axis_indices"]),
+                ),
+                2,
+            )
+            mesh = R.spread_to_mesh(p, box, qg, grid, 2, precision=precision)
+            return R.convolve_energy(mesh, box, 0.7, ck_1, False, DIELECTRIC)
+
+        return np.asarray(jax.grad(e)(pos), np.float64)
+
+    f_ref = forces(jnp.float64)
+    err_f32 = np.sqrt(((forces(jnp.float32) - f_ref) ** 2).mean())
+    err_mix = np.sqrt(((forces(jnp.float32, "f64") - f_ref) ** 2).mean())
+    assert err_mix < 0.25 * err_f32
