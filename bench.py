@@ -1,17 +1,28 @@
 #!/usr/bin/env python
-"""Benchmark: water_1024 full-force-field energy+force step on the real device.
+"""Benchmark: polarizable water energy+force step on the real device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "secondary"}.
 
-Workload (the reference's flagship example, examples/water_1024/run_admp.py):
-3072-atom MPID water box, one energy+force step of the complete force field —
-multipolar electrostatic PME (lmax=2, K=154^3 mesh) + dispersion PME
-(C6/C8/C10, three grids) + Tang-Toennies short-range — jit-compiled, float32 on
-TPU, fixed-capacity neighbor pairs (neighbor refresh excluded, as in MD loops).
+Primary workload (BASELINE.md north star, mirroring the reference's
+examples/water_pol_1024/run_admp.py:134-139): a water_pol_1024-class system —
+1000 waters (3000 atoms) at liquid density (the shipped 50 A polarizable box
+suffers a polarization catastrophe, see tests/test_golden_water.py; the
+synthetic liquid box is the physically-meaningful stand-in) — one energy+force
+step of polarizable multipolar PME (lmax=2, Thole SCF via warm-started PCG
+with implicit-VJP forces), jit-compiled, float32 on TPU, fixed-capacity
+neighbor pairs. Positions drift ~5e-3 A/step inside the timing loop so the
+SCF warm start works as it does along a real MD trajectory (0-2 iterations)
+rather than converging trivially on a static geometry.
+
+Secondary workload: the reference's flagship nonpolarizable example
+(examples/water_1024/run_admp.py) — 3072-atom MPID water box, full force
+field: electrostatic PME (lmax=2, K=154^3) + dispersion PME (C6/C8/C10) +
+Tang-Toennies short-range.
 
 The reference publishes no timing numbers (BASELINE.md): vs_baseline is
-reported as the ratio of the previous round's recorded value to this run
-(>1 = faster than last round) or 1.0 when no history exists.
+self-referential — the ratio of the previous round's recorded value for the
+SAME metric to this run (>1 = faster than last round), 1.0 when no history
+for the metric exists.
 """
 
 import json
@@ -21,7 +32,68 @@ import time
 import numpy as np
 
 
-def build_workload():
+def build_pol_workload():
+    """Polarizable PME step, warm-started SCF threaded through an MD-style
+    scan (reference driver: examples/water_pol_1024/run_admp.py:134-139)."""
+    import jax
+    import jax.numpy as jnp
+
+    from admp_tpu import ADMPPmeForce, SCFConfig, convert_cart2harm
+    from admp_tpu.ops.neighborlist import neighbor_list_cell
+    from admp_tpu.systems import water_system
+
+    sysd = water_system(n_side=10, spacing=3.104, jitter=0.12, seed=0)
+    positions, box = jnp.asarray(sysd["positions"]), jnp.asarray(sysd["box"])
+    n = positions.shape[0]
+
+    rc, ethresh = 4.0, 1e-4
+    nlist = neighbor_list_cell(positions, box, rc)
+    pairs = jnp.asarray(nlist.pairs)
+
+    q_local = convert_cart2harm(jnp.asarray(sysd["q_cart"]), 2)
+    pol = jnp.asarray(sysd["pol"])
+    tholes = jnp.asarray(sysd["tholes"])
+    scales = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0])
+
+    pme = ADMPPmeForce(
+        box, sysd["axis_types"], sysd["axis_indices"], sysd["covalent_map"],
+        rc, ethresh, lmax=2, lpol=True, scf_config=SCFConfig(),
+    )
+
+    # converge once cold so the timed loop starts from a realistic MD state
+    u0, _, _ = pme.optimize_Uind(
+        positions, box, pairs, q_local, pol, tholes, scales, scales, scales,
+    )
+
+    # deterministic small per-step drift (~5e-3 A) so warm-started PCG does
+    # its real 0-2 iterations per step instead of trivially re-converging
+    rng = np.random.default_rng(1)
+    drift = jnp.asarray(0.005 * rng.standard_normal((n, 3)))
+
+    vga = pme._value_grad_aux
+    n_inner = 10
+
+    @jax.jit
+    def multi_step(pos, u):
+        def body(carry, _):
+            p, u_prev = carry
+            (e, (u_new, _conv, _n_it)), f = vga(
+                p, box, pairs, q_local, pol, tholes,
+                scales, scales, scales, u_prev,
+            )
+            return (p + drift, u_new), e
+
+        (p_out, u_out), es = jax.lax.scan(
+            body, (pos, u), None, length=n_inner
+        )
+        return p_out, u_out, es
+
+    return multi_step, (positions, u0), n_inner
+
+
+def build_nonpol_workload():
+    """Nonpolarizable full-force-field step on the shipped water_1024 box
+    (reference driver: examples/water_1024/run_admp.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -67,6 +139,8 @@ def build_workload():
         )
         n = positions.shape[0]
 
+    import jax.numpy as jnp
+
     rc, ethresh = 4.0, 1e-4
     nlist = neighbor_list_cell(positions, box, rc)
     pairs = jnp.asarray(nlist.pairs)
@@ -110,40 +184,63 @@ def build_workload():
         return jax.lax.scan(body, pos, None, length=n_inner)
 
     pos_j = jnp.asarray(positions)
-    return multi_step, pos_j, n_inner
+    return multi_step, (pos_j,), n_inner
 
 
-def main():
+def time_workload(step, args, n_inner, n_repeat=5):
     import jax
 
-    step, pos, n_inner = build_workload()
-    # warmup / compile
-    out = step(pos)
+    out = step(*args)  # warmup / compile
     jax.block_until_ready(out)
 
     times = []
-    for _ in range(5):
+    for _ in range(n_repeat):
         t0 = time.perf_counter()
-        out = step(pos)
+        out = step(*args)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-    ms = float(np.median(times) / n_inner * 1e3)
+    return float(np.median(times) / n_inner * 1e3)
 
-    vs_baseline = 1.0
-    hist = sorted(pathlib.Path(".").glob("BENCH_r*.json"))
-    if hist:
+
+def prev_value(metric_prefix):
+    """Most recent BENCH_r*.json value whose metric matches the prefix —
+    either as the primary metric or under "secondary"."""
+    for path in sorted(pathlib.Path(__file__).parent.glob("BENCH_r*.json"),
+                       reverse=True):
         try:
-            prev = json.loads(hist[-1].read_text())
-            if prev.get("metric", "").startswith("water_1024") and prev.get("value"):
-                vs_baseline = float(prev["value"]) / ms
+            rec = json.loads(path.read_text())
+            parsed = rec.get("parsed", rec)
+            if parsed.get("metric", "").startswith(metric_prefix):
+                return float(parsed["value"])
+            sec = parsed.get("secondary") or {}
+            if sec.get("metric", "").startswith(metric_prefix):
+                return float(sec["value"])
         except Exception:
-            pass
+            continue
+    return None
+
+
+def main():
+    ms_pol = time_workload(*build_pol_workload())
+    ms_nonpol = time_workload(*build_nonpol_workload())
+
+    prev_pol = prev_value("water_pol")
+    prev_nonpol = prev_value("water_1024")
 
     print(json.dumps({
-        "metric": "water_1024 energy+force step (PME lmax=2 + disp PME + TT)",
-        "value": round(ms, 3),
+        "metric": "water_pol 3000-atom polarizable PME energy+force step "
+                  "(lmax=2 Thole SCF, warm PCG; vs prev round, no published baseline)",
+        "value": round(ms_pol, 3),
         "unit": "ms",
-        "vs_baseline": round(vs_baseline, 4),
+        "vs_baseline": round(prev_pol / ms_pol, 4) if prev_pol else 1.0,
+        "secondary": {
+            "metric": "water_1024 energy+force step (PME lmax=2 + disp PME + TT)",
+            "value": round(ms_nonpol, 3),
+            "unit": "ms",
+            "vs_baseline": (
+                round(prev_nonpol / ms_nonpol, 4) if prev_nonpol else 1.0
+            ),
+        },
     }))
 
 
