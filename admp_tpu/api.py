@@ -190,9 +190,14 @@ class Hamiltonian:
                 self._generators.append(parser(child))
         # atom templates for topology assembly come from the same file
         self._atom_templates, self._residue_templates = read_ffxml(xml_path)
-        self._type_by_name = {
-            (t.name): t.type for t in self._atom_templates
-        }
+        # primary key (residue name, atom name): atom names are only unique
+        # within a residue template, and a global name->type dict would let
+        # same-named atoms in different residues silently overwrite each other
+        self._type_by_res_atom = {}
+        for res in self._residue_templates:
+            for t in res.atoms:
+                self._type_by_res_atom[(res.name, t.name)] = t.type
+        self._type_by_name = {t.name: t.type for t in self._atom_templates}
         self._potentials = []
 
     def getGenerators(self):
@@ -213,9 +218,17 @@ class Hamiltonian:
             pdb_data, self._atom_templates, self._residue_templates,
             covalent_depth=6,
         )
-        type_map = [
-            self._type_by_name[name] for name in pdb_data.names
-        ]
+        type_map = []
+        for res_name, name in zip(pdb_data.res_names, pdb_data.names):
+            ttype = self._type_by_res_atom.get((res_name, name))
+            if ttype is None:
+                ttype = self._type_by_name.get(name)
+            if ttype is None:
+                raise KeyError(
+                    f"atom {name!r} in residue {res_name!r} matches no "
+                    f"template in {self.xml_path}"
+                )
+            type_map.append(ttype)
         self._system = system
         self._potentials = [
             gen.create_force(system, type_map, nonbondedCutoff)

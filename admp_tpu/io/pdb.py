@@ -25,9 +25,29 @@ class PDBData:
     box: list  # (a, b, c, alpha, beta, gamma)
 
     def box_matrix(self) -> np.ndarray:
-        """Orthorhombic box matrix (lattice vectors in rows, Angstrom)."""
-        a, b, c = self.box[:3]
-        return np.diag([a, b, c]).astype(float)
+        """Box matrix (lattice vectors in rows, Angstrom) from the CRYST1
+        cell parameters, honouring the angles (general triclinic cells; the
+        reference keeps only a, b, c and silently assumes orthorhombic,
+        reference: admp/parser.py:104 + the driver's jnp.eye(3) * [lx,ly,lz]).
+
+        Standard crystallographic convention: a along x, b in the xy plane.
+        """
+        a, b, c, alpha, beta, gamma = self.box
+        if not all(abs(ang - 90.0) > 1e-9 for ang in (alpha, beta, gamma)):
+            # any right angle handled by the general formula too; fast path
+            # for the fully-orthorhombic (all-90) case keeps exact zeros
+            if all(abs(ang - 90.0) < 1e-9 for ang in (alpha, beta, gamma)):
+                return np.diag([a, b, c]).astype(float)
+        ca = np.cos(np.radians(alpha))
+        cb = np.cos(np.radians(beta))
+        cg = np.cos(np.radians(gamma))
+        sg = np.sin(np.radians(gamma))
+        cx = c * cb
+        cy = c * (ca - cb * cg) / sg
+        cz = np.sqrt(max(c * c - cx * cx - cy * cy, 0.0))
+        return np.array(
+            [[a, 0.0, 0.0], [b * cg, b * sg, 0.0], [cx, cy, cz]], dtype=float
+        )
 
 
 def read_pdb(path: str) -> PDBData:

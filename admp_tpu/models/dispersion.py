@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from admp_tpu.utils.linalg3 import inv3x3
 
 from admp_tpu.ops.dispersion import dispersion_pair_energy
 from admp_tpu.ops.ewald import setup_ewald_parameters
@@ -18,7 +19,7 @@ from admp_tpu.ops.influence import ck_6, ck_8, ck_10
 from admp_tpu.ops.pbc import pbc_shift
 from admp_tpu.ops.reciprocal import make_disp_pme_recip
 from admp_tpu.ops.selfenergy import dispersion_self_energy
-from admp_tpu.settings import maybe_jit
+from admp_tpu.settings import EngineConfig, maybe_jit
 
 
 def disp_pme_real_energy(positions, box, pairs, c_list, m_scales, covalent_map,
@@ -30,14 +31,17 @@ def disp_pme_real_energy(positions, box, pairs, c_list, m_scales, covalent_map,
     mask = raw_i < raw_j
     i = jnp.minimum(raw_i, n - 1)
     j = jnp.minimum(raw_j, n - 1)
-    box_inv = jnp.linalg.inv(box)
+    box_inv = inv3x3(box)
     dr = pbc_shift(positions[i] - positions[j], box, box_inv)
     r2 = jnp.sum(dr * dr, axis=-1)
     r2 = jnp.where(mask, r2, 1.0)
-    from admp_tpu.ops.exclusions import lookup_topology_distance
+    from admp_tpu.ops.exclusions import (
+        lookup_topology_distance,
+        scale_for_distance,
+    )
 
     nbond = lookup_topology_distance(covalent_map, i, j)
-    mscale = m_scales[(nbond - 1) % m_scales.shape[0]]
+    mscale = scale_for_distance(m_scales, nbond)
     e = dispersion_pair_energy(r2, c_list[i], c_list[j], mscale, kappa, pmax)
     return jnp.sum(jnp.where(mask, e, 0.0))
 
@@ -63,9 +67,16 @@ class ADMPDispPmeForce:
     (reference: admp/disp_pme.py:20-77)."""
 
     def __init__(self, box, covalent_map, rc, ethresh, pmax,
-                 cache_influence: bool = False, fft_friendly_grid: bool = False):
+                 cache_influence: bool = False, fft_friendly_grid: bool = False,
+                 config: EngineConfig | None = None):
         from admp_tpu.ops.exclusions import SparseExclusions
 
+        if config is None:
+            config = EngineConfig(
+                cache_influence=cache_influence,
+                fft_friendly_grid=fft_friendly_grid,
+            )
+        self.config = config
         self.covalent_map = (
             covalent_map
             if isinstance(covalent_map, SparseExclusions)
@@ -76,13 +87,21 @@ class ADMPDispPmeForce:
         self.pmax = int(pmax)
         # fixed-cell fast path: precompute the erfc influence grids once
         # (disables box gradients through the dispersion influence term)
-        self._static_box = jnp.asarray(box) if cache_influence else None
-        if fft_friendly_grid:
+        self._static_box = jnp.asarray(box) if config.cache_influence else None
+        # The dispersion kernels decay like exp(-k^2/4kappa^2) times smooth
+        # erfc-type factors — much faster k-space decay than Coulomb's
+        # 1/k^2 weighting at the same ethresh — so an independent (looser)
+        # accuracy target for the dispersion grids is physically justified
+        # and directly shrinks the dominant K^3 cost of the full-FF step.
+        grid_ethresh = (
+            config.disp_ethresh if config.disp_ethresh is not None else ethresh
+        )
+        if config.fft_friendly_grid:
             from admp_tpu.ops.ewald import setup_ewald_parameters_fft
 
-            kappa, k1, k2, k3 = setup_ewald_parameters_fft(rc, ethresh, box)
+            kappa, k1, k2, k3 = setup_ewald_parameters_fft(rc, grid_ethresh, box)
         else:
-            kappa, k1, k2, k3 = setup_ewald_parameters(rc, ethresh, box)
+            kappa, k1, k2, k3 = setup_ewald_parameters(rc, grid_ethresh, box)
         self.kappa = kappa
         self.K1, self.K2, self.K3 = k1, k2, k3
         self.pme_order = 6
@@ -94,10 +113,22 @@ class ADMPDispPmeForce:
 
     def refresh_calculators(self):
         grid = (self.K1, self.K2, self.K3)
+        # pmax_recip: reciprocal-channel truncation (real + self space keep
+        # the full pmax). The C8/C10 k-space sums are physically tiny at
+        # kappa*rc ~ 2.6 (their long-range tails are steeply decaying);
+        # dropping their grids removes 2 of 3 spread/FFT channel passes.
+        # Off by default for reference parity; accuracy delta measured in
+        # ROADMAP.md.
+        cfg = getattr(self, "config", None) or EngineConfig()
+        pmax_recip = min(
+            self.pmax,
+            cfg.pmax_recip if cfg.pmax_recip is not None else self.pmax,
+        )
+        self._pmax_recip = pmax_recip
         cks = [ck_6]
-        if self.pmax >= 8:
+        if pmax_recip >= 8:
             cks.append(ck_8)
-        if self.pmax >= 10:
+        if pmax_recip >= 10:
             cks.append(ck_10)
         recip_fn = make_disp_pme_recip(
             cks, self.kappa, grid, static_box=getattr(self, "_static_box", None)

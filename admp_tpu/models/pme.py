@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from admp_tpu.utils.linalg3 import inv3x3
 
 from admp_tpu.ops import realspace
 from admp_tpu.ops.ewald import setup_ewald_parameters
@@ -38,7 +39,8 @@ from admp_tpu.ops.pbc import pbc_shift
 from admp_tpu.ops.reciprocal import make_pme_recip
 from admp_tpu.ops.selfenergy import pme_self_energy, polarization_penalty
 from admp_tpu.scf.solver import make_induced_dipole_solver
-from admp_tpu.settings import SCFConfig, maybe_jit
+from admp_tpu.settings import EngineConfig, SCFConfig, maybe_jit
+from admp_tpu.utils.accmath import compensated_sum, masked_compensated_sum
 from admp_tpu.utils.constants import DIELECTRIC
 from admp_tpu.utils.safety import masked_norm
 
@@ -58,6 +60,8 @@ def pme_real_energy(
     lmax: int,
     lpol: bool,
     pair_chunk: int | None = None,
+    exclude_topological: bool = False,
+    compensated: bool = False,
 ):
     """Real-space multipolar Ewald energy over a padded pair list.
 
@@ -68,6 +72,15 @@ def pme_real_energy(
     ``pair_chunk``: process the pair list in fixed-size blocks via lax.map —
     bounds peak memory for very large systems (per-pair intermediates like the
     quasi-internal frames tile-pad badly on TPU at tens of millions of pairs).
+
+    ``exclude_topological``: additionally mask out pairs with nonzero
+    topological distance — used by the high-accuracy mode, which re-evaluates
+    those pairs in float64 on a static exclusion list (see energy_pme).
+
+    ``compensated``: accumulate the pair sum with an error-free TwoSum tree
+    (utils/accmath.py) — the ~1e5-magnitude intramolecular corrections
+    cancelling against self/reciprocal terms are where plain f32 summation
+    loses the Ewald balance.
     """
     if pair_chunk is not None and pairs.shape[0] > pair_chunk:
         n_pad = (-pairs.shape[0]) % pair_chunk
@@ -79,17 +92,18 @@ def pme_real_energy(
             lambda blk: pme_real_energy(
                 positions, box, blk, q_global, u_ind_harm, pol, tholes,
                 m_scales, p_scales, covalent_map, kappa, lmax, lpol,
+                None, exclude_topological, compensated,
             ),
             blocks,
         )
-        return jnp.sum(energies)
+        return compensated_sum(energies) if compensated else jnp.sum(energies)
     n = positions.shape[0]
     raw_i, raw_j = pairs[..., 0], pairs[..., 1]
     mask = raw_i < raw_j
     i = jnp.minimum(raw_i, n - 1)
     j = jnp.minimum(raw_j, n - 1)
 
-    box_inv = jnp.linalg.inv(box)
+    box_inv = inv3x3(box)
     r1 = positions[i]
     r2 = positions[j]
     dr = pbc_shift(r1 - r2, box, box_inv)
@@ -99,16 +113,21 @@ def pme_real_energy(
     qi_i = rot_global2local(q_global[i], frames_qi, lmax)
     qi_j = rot_global2local(q_global[j], frames_qi, lmax)
 
-    from admp_tpu.ops.exclusions import lookup_topology_distance
+    from admp_tpu.ops.exclusions import (
+        lookup_topology_distance,
+        scale_for_distance,
+    )
 
     nbond = lookup_topology_distance(covalent_map, i, j)
-    mscale = m_scales[(nbond - 1) % m_scales.shape[0]]
+    mscale = scale_for_distance(m_scales, nbond)
+    if exclude_topological:
+        mask = mask & (nbond == 0)
 
     coef = realspace.perm_coefficients(r, mscale, kappa, lmax)
     e = realspace.pair_energy_perm(qi_i, qi_j, coef, lmax)
 
     if lpol:
-        pscale = p_scales[(nbond - 1) % p_scales.shape[0]]
+        pscale = scale_for_distance(p_scales, nbond)
         ui = rot_dipole_global2local(u_ind_harm[i], frames_qi)
         uj = rot_dipole_global2local(u_ind_harm[j], frames_qi)
         dmp = realspace.pair_damping_width(pol[i], pol[j])
@@ -117,6 +136,8 @@ def pme_real_energy(
         )
         e = e + realspace.pair_energy_induced(qi_i, qi_j, ui, uj, icoef, lmax)
 
+    if compensated:
+        return masked_compensated_sum(e, mask)
     return jnp.sum(jnp.where(mask, e, 0.0))
 
 
@@ -139,19 +160,52 @@ def energy_pme(
     lmax: int,
     lpol: bool,
     pair_chunk: int | None = None,
+    config: EngineConfig | None = None,
+    excl_pairs=None,
+    return_terms: bool = False,
 ):
     """Total multipolar PME energy: real + reciprocal + self (+ polarization).
 
     Parity with reference: admp/pme.py:176-254. ``u_ind_cart`` are Cartesian
     induced dipoles (global frame); ``d_scales`` is accepted for API parity but,
     as in the reference (admp/pme.py:472, uscales hardcoded to 1), unused.
+
+    ``config.realspace_precision='f64'`` + ``excl_pairs`` (static (E, 2) list
+    of all topological-exclusion pairs, built once from the covalent map):
+    the large-magnitude intramolecular Ewald corrections are masked out of the
+    working-dtype pair pass and evaluated in float64 instead — they carry
+    pair forces up to ~1e4 kJ/mol/A that cancel against the reciprocal mesh,
+    so their f32 rounding dominates the real-space force error (ROADMAP.md).
+    Note the f64 pass covers every topological pair regardless of the
+    neighbor-list cutoff (topology is static; a 1-4 pair beyond rc gets its
+    correction here where the plain path would silently drop it).
+
+    ``return_terms``: also return a dict of per-term energies for metrics.
     """
     del d_scales
+    config = config or EngineConfig()
+    compensated = config.compensated_sums
+    work_dtype = positions.dtype
+    # 'f64-all': the entire pair pass in float64 (measured floor ~9e-8
+    # relative force RMSE; the f32 kernel's own distributed rounding is ~2e-6,
+    # so this is the mode that actually reaches the <1e-6 north star).
+    all64 = config.realspace_precision == "f64-all"
+    high_real = (
+        config.realspace_precision == "f64" and excl_pairs is not None
+    ) or all64
+    # In high-accuracy mode the O(N) stages — frame construction, the
+    # local->global multipole rotation, and the self energy — run in float64:
+    # the f32 rounding of the rotated multipoles feeds the ~1e6-magnitude
+    # real/self/reciprocal cancellation and is amplified accordingly, while
+    # these stages are negligible next to the O(pairs) and O(K^3) work.
+    geo_dtype = jnp.float64 if high_real else work_dtype
+    positions_g = positions.astype(geo_dtype)
+    box_g = box.astype(geo_dtype)
     if lmax > 0:
-        frames = construct_local_frames(positions, box, axis_types, axis_indices)
-        q_global = rot_local2global(q_local, frames, lmax)
+        frames = construct_local_frames(positions_g, box_g, axis_types, axis_indices)
+        q_global = rot_local2global(q_local.astype(geo_dtype), frames, lmax)
     else:
-        q_global = q_local
+        q_global = q_local.astype(geo_dtype)
 
     lmax_eff = lmax
     if lpol:
@@ -162,33 +216,87 @@ def energy_pme(
                 [q_global, jnp.zeros((q_global.shape[0], 3), q_global.dtype)], axis=-1
             )
             lmax_eff = 1
-        u_harm = cart_dipole_to_harm(u_ind_cart)
+        u_harm = cart_dipole_to_harm(u_ind_cart).astype(geo_dtype)
         q_tot = q_global.at[:, 1:4].add(u_harm)
     else:
         u_harm = None
         q_tot = q_global
 
-    e_real = pme_real_energy(
-        positions,
-        box,
-        pairs,
-        q_global,
-        u_harm,
-        pol,
-        tholes,
-        m_scales,
-        p_scales,
-        covalent_map,
-        kappa,
-        lmax_eff,
-        lpol,
-        pair_chunk,
-    )
-    e_recip = pme_recip_fn(positions, box, q_tot)
+    f64 = jnp.float64
+    if all64:
+        e_real = pme_real_energy(
+            positions.astype(f64),
+            box.astype(f64),
+            pairs,
+            q_global,
+            u_harm,
+            None if pol is None else pol.astype(f64),
+            None if tholes is None else tholes.astype(f64),
+            m_scales.astype(f64),
+            None if p_scales is None else p_scales.astype(f64),
+            covalent_map,
+            kappa,
+            lmax_eff,
+            lpol,
+            pair_chunk,
+            compensated=False,
+        )
+    else:
+        e_real = pme_real_energy(
+            positions,
+            box,
+            pairs,
+            q_global.astype(work_dtype),
+            None if u_harm is None else u_harm.astype(work_dtype),
+            pol,
+            tholes,
+            m_scales,
+            p_scales,
+            covalent_map,
+            kappa,
+            lmax_eff,
+            lpol,
+            pair_chunk,
+            exclude_topological=high_real,
+            compensated=compensated,
+        )
+    if high_real and not all64:
+        e_excl = pme_real_energy(
+            positions.astype(f64),
+            box.astype(f64),
+            excl_pairs,
+            q_global,
+            u_harm,
+            None if pol is None else pol.astype(f64),
+            None if tholes is None else tholes.astype(f64),
+            m_scales.astype(f64),
+            None if p_scales is None else p_scales.astype(f64),
+            covalent_map,
+            kappa,
+            lmax_eff,
+            lpol,
+            None,
+            compensated=False,
+        )
+        e_real = e_real.astype(f64) + e_excl
+    recip_q = q_tot if config.recip_precision == "f64" else q_tot.astype(work_dtype)
+    e_recip = pme_recip_fn(positions, box, recip_q)
     e_self = pme_self_energy(q_tot, kappa, lmax_eff)
+    e_pol = None
     if lpol:
-        e_self = e_self + polarization_penalty(u_ind_cart, pol)
-    return e_real + e_recip + e_self
+        e_pol = polarization_penalty(u_ind_cart.astype(geo_dtype), pol)
+        e_self = e_self + e_pol
+    total = (e_real + e_recip + e_self).astype(work_dtype)
+    if return_terms:
+        terms = {
+            "e_real": e_real.astype(work_dtype),
+            "e_recip": e_recip.astype(work_dtype),
+            "e_self": e_self.astype(work_dtype),
+        }
+        if e_pol is not None:
+            terms["e_pol_penalty"] = e_pol.astype(work_dtype)
+        return total, terms
+    return total
 
 
 class ADMPPmeForce:
@@ -209,13 +317,29 @@ class ADMPPmeForce:
         fft_friendly_grid: bool = False,
         spread_method: str = "scatter",
         spread_precision: str | None = None,
+        config: EngineConfig | None = None,
     ):
+        # Unified configuration: prefer `config`; the individual kwargs are
+        # kept as a compatibility layer folded into it (VERDICT round 1 §9).
+        if config is None:
+            config = EngineConfig(
+                fft_friendly_grid=fft_friendly_grid,
+                spread_method=spread_method,
+                spread_precision=spread_precision,
+                scf=scf_config or SCFConfig(),
+            )
+        elif scf_config is not None:
+            import dataclasses as _dc
+
+            config = _dc.replace(config, scf=scf_config)
+        self.config = config
+
         self.axis_type = jnp.asarray(axis_type)
         self.axis_indices = jnp.asarray(axis_indices)
         self.rc = rc
         self.ethresh = ethresh
         self.lmax = int(lmax)
-        if fft_friendly_grid:
+        if config.fft_friendly_grid:
             from admp_tpu.ops.ewald import setup_ewald_parameters_fft
 
             kappa, k1, k2, k3 = setup_ewald_parameters_fft(rc, ethresh, box)
@@ -224,7 +348,7 @@ class ADMPPmeForce:
         self.kappa = kappa
         self.K1, self.K2, self.K3 = k1, k2, k3
         self.pme_order = 6
-        from admp_tpu.ops.exclusions import SparseExclusions
+        from admp_tpu.ops.exclusions import SparseExclusions, exclusion_pair_list
 
         if isinstance(covalent_map, SparseExclusions):
             self.covalent_map = covalent_map
@@ -232,10 +356,15 @@ class ADMPPmeForce:
         else:
             self.covalent_map = jnp.asarray(covalent_map)
             self.n_atoms = int(self.covalent_map.shape[0])
+        self._excl_pairs = (
+            exclusion_pair_list(self.covalent_map)
+            if config.realspace_precision == "f64"
+            else None
+        )
         self.lpol = bool(lpol)
-        self.scf_config = scf_config or SCFConfig()
-        self.spread_method = spread_method
-        self.spread_precision = spread_precision
+        self.scf_config = config.scf
+        self.spread_method = config.spread_method
+        self.spread_precision = config.spread_precision
         self.U_ind = jnp.zeros((self.n_atoms, 3))
         self.lconverg = None
         self.n_cycle = None
@@ -248,6 +377,7 @@ class ADMPPmeForce:
         self.refresh_calculators()
 
     def refresh_calculators(self):
+        cfg = getattr(self, "config", None) or EngineConfig()
         self.pme_recip = make_pme_recip(
             ck_1,
             self.kappa,
@@ -257,6 +387,8 @@ class ADMPPmeForce:
             prefactor=DIELECTRIC,
             spread_method=getattr(self, "spread_method", "scatter"),
             spread_precision=getattr(self, "spread_precision", None),
+            recip_precision=cfg.recip_precision,
+            compensated=cfg.compensated_sums,
         )
         if self.lpol:
             self._build_polarizable()
@@ -272,17 +404,29 @@ class ADMPPmeForce:
         axis_indices = self.axis_indices
         recip = self.pme_recip
         kappa, lmax = self.kappa, self.lmax
+        config, excl_pairs = self.config, self._excl_pairs
 
         def get_energy(positions, box, pairs, Q_local, mScales):
             pair_chunk = (1 << 18) if pairs.shape[0] > (1 << 20) else None
             return energy_pme(
                 positions, box, pairs, Q_local, None, None, None,
                 mScales, None, None, covalent_map, axis_types, axis_indices,
-                recip, kappa, lmax, False, pair_chunk,
+                recip, kappa, lmax, False, pair_chunk, config, excl_pairs,
             )
+
+        def get_metrics(positions, box, pairs, Q_local, mScales):
+            pair_chunk = (1 << 18) if pairs.shape[0] > (1 << 20) else None
+            total, terms = energy_pme(
+                positions, box, pairs, Q_local, None, None, None,
+                mScales, None, None, covalent_map, axis_types, axis_indices,
+                recip, kappa, lmax, False, pair_chunk, config, excl_pairs,
+                return_terms=True,
+            )
+            return dict(terms, e_total=total)
 
         self.get_energy = maybe_jit(get_energy)
         self.get_forces = maybe_jit(jax.value_and_grad(get_energy))
+        self.get_metrics = maybe_jit(get_metrics)
         self.energy_fn = self.get_energy
 
     # ------------------------------------------------------------------
@@ -294,6 +438,7 @@ class ADMPPmeForce:
         axis_indices = self.axis_indices
         recip = self.pme_recip
         kappa, lmax = self.kappa, self.lmax
+        config, excl_pairs = self.config, self._excl_pairs
 
         def energy_fn(positions, box, pairs, Q_local, U_ind, pol, tholes,
                       mScales, pScales, dScales):
@@ -301,7 +446,8 @@ class ADMPPmeForce:
             return energy_pme(
                 positions, box, pairs, Q_local, U_ind, pol, tholes,
                 mScales, pScales, dScales, covalent_map, axis_types,
-                axis_indices, recip, kappa, lmax, True, pair_chunk,
+                axis_indices, recip, kappa, lmax, True, pair_chunk, config,
+                excl_pairs,
             )
 
         self.energy_fn = energy_fn
@@ -357,8 +503,30 @@ class ADMPPmeForce:
             self.U_ind, self.lconverg, self.n_cycle = u, conv, n_it
             return energy, force
 
+        def get_metrics(positions, box, pairs, Q_local, pol, tholes,
+                        mScales, pScales, dScales, U_init=None):
+            """Structured per-step metrics: term energies at the converged
+            dipoles plus SCF diagnostics (SURVEY §5 observability)."""
+            if U_init is None:
+                U_init = self.U_ind
+            energy, (u, conv, n_it) = self._energy_and_aux(
+                positions, box, pairs, Q_local, pol, tholes,
+                mScales, pScales, dScales, U_init,
+            )
+            pair_chunk = (1 << 18) if pairs.shape[0] > (1 << 20) else None
+            _, terms = energy_pme(
+                positions, box, pairs, Q_local, u, pol, tholes,
+                mScales, pScales, dScales, covalent_map, axis_types,
+                axis_indices, recip, kappa, lmax, True, pair_chunk, config,
+                excl_pairs, return_terms=True,
+            )
+            return dict(
+                terms, e_total=energy, scf_converged=conv, scf_iters=n_it,
+            )
+
         self.get_energy = get_energy
         self.get_forces = get_forces
+        self.get_metrics = get_metrics
 
     def optimize_Uind(self, positions, box, pairs, Q_local, pol, tholes,
                       mScales, pScales, dScales, U_init=None):

@@ -12,6 +12,7 @@ A / kJ/mol units by the caller (nm^2 -> A^2 divides k by 100).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from admp_tpu.utils.linalg3 import inv3x3
 
 from admp_tpu.ops.pbc import pbc_shift
 
@@ -23,7 +24,7 @@ def harmonic_bond_energy(positions, box, bond_idx, r0, k):
       bond_idx: (B, 2) int atom indices.
       r0, k: (B,) equilibrium lengths (A) and force constants (kJ/mol/A^2).
     """
-    box_inv = jnp.linalg.inv(box)
+    box_inv = inv3x3(box)
     dr = pbc_shift(
         positions[bond_idx[:, 0]] - positions[bond_idx[:, 1]], box, box_inv
     )
@@ -38,7 +39,7 @@ def harmonic_angle_energy(positions, box, angle_idx, theta0, k):
       angle_idx: (A, 3) int indices.
       theta0, k: (A,) equilibrium angles (rad) and constants (kJ/mol/rad^2).
     """
-    box_inv = jnp.linalg.inv(box)
+    box_inv = inv3x3(box)
     v1 = pbc_shift(
         positions[angle_idx[:, 0]] - positions[angle_idx[:, 1]], box, box_inv
     )

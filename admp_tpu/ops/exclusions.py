@@ -83,3 +83,49 @@ def lookup_topology_distance(covalent, i, j):
     if isinstance(covalent, SparseExclusions):
         return covalent.lookup(i, j)
     return covalent[i, j]
+
+
+def scale_for_distance(scales, nbond):
+    """Scale-factor lookup by topological distance, reference-compatible.
+
+    The reference indexes ``mScales[nbond - 1]`` where nbond=0 (non-bonded)
+    wraps to the last element and any distance beyond the scale vector clamps
+    to the last element via JAX's out-of-bounds gather clamping
+    (reference: admp/pairwise.py:73-74) — the convention being that the last
+    scale is 1.0 (full strength). A plain ``(nbond - 1) % len`` reproduces the
+    wrap but NOT the clamp: distance 6 (present in exclusion tables built with
+    max_depth=6, matching the reference's build_covalent_map(data, 6),
+    admp/api.py:163) would alias back to mScale12. Clamp explicitly.
+    """
+    last = scales.shape[0] - 1
+    idx = jnp.where(nbond == 0, last, jnp.minimum(nbond - 1, last))
+    return scales[idx]
+
+
+def exclusion_pair_list(covalent, pad_multiple: int = 128):
+    """Static (E, 2) int32 list of all topological pairs (i < j, distance > 0),
+    padded with [n, n] rows to a multiple of ``pad_multiple``.
+
+    Host-side, O(n_excl): topology is fixed for a run, so the high-accuracy
+    float64 exclusion pass (models/pme.py energy_pme) can use a fixed-shape
+    pair array independent of the neighbor list.
+    """
+    if isinstance(covalent, SparseExclusions):
+        n = int(covalent.n_atoms)
+        idx = np.asarray(covalent.idx)
+        dist = np.asarray(covalent.dist)
+        a = np.repeat(np.arange(n), idx.shape[1])
+        b = idx.reshape(-1)
+        d = dist.reshape(-1)
+        keep = (d > 0) & (b < n) & (a < b)
+        pairs = np.stack([a[keep], b[keep]], axis=1)
+    else:
+        cm = np.asarray(covalent)
+        n = cm.shape[0]
+        iu, ju = np.triu_indices(n, k=1)
+        keep = cm[iu, ju] > 0
+        pairs = np.stack([iu[keep], ju[keep]], axis=1)
+    cap = -(-max(len(pairs), 1) // pad_multiple) * pad_multiple
+    out = np.full((cap, 2), n, dtype=np.int32)
+    out[: len(pairs)] = pairs
+    return jnp.asarray(out)

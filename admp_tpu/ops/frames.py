@@ -18,6 +18,7 @@ Axis type codes follow MPID/OpenMM (reference: admp/spatial.py:58-64):
 from __future__ import annotations
 
 import jax.numpy as jnp
+from admp_tpu.utils.linalg3 import inv3x3
 
 from admp_tpu.ops.pbc import pbc_shift
 from admp_tpu.utils.safety import safe_normalize
@@ -46,7 +47,7 @@ def construct_local_frames(positions, box, axis_types, axis_indices):
     Parity with reference: admp/spatial.py:44-147 (generate_construct_local_frames).
     """
     n = positions.shape[0]
-    box_inv = jnp.linalg.inv(box)
+    box_inv = inv3x3(box)
     axis_types = jnp.asarray(axis_types)
     idx = jnp.mod(jnp.asarray(axis_indices), n)  # emulate Python -1 indexing
     z_at, x_at, y_at = idx[:, 0], idx[:, 1], idx[:, 2]

@@ -22,6 +22,7 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from admp_tpu.utils.linalg3 import inv3x3
 
 
 @dataclasses.dataclass
@@ -44,7 +45,7 @@ class NeighborList:
 @partial(jax.jit, static_argnames=("capacity",))
 def _dense_pairs(positions, box, cutoff, capacity):
     n = positions.shape[0]
-    box_inv = jnp.linalg.inv(box)
+    box_inv = inv3x3(box)
     frac = positions @ box_inv
     # minimum-image pair distances via fractional wrap
     ds = frac[:, None, :] - frac[None, :, :]
@@ -116,18 +117,35 @@ def _cell_grid(box, cutoff):
     return tuple(int(c) for c in n_cells)
 
 
-@partial(jax.jit, static_argnames=("n_cells", "cell_capacity", "capacity"))
-def _cell_pairs(positions, box, cutoff, n_cells, cell_capacity, capacity):
-    """Cell-list neighbor search with static shapes.
+# Half stencil: the self cell (index 0, i<j dedupe) + the 13 displacements
+# with (dx, dy, dz) lexicographically positive. Each unordered cell pair is
+# visited exactly once (under PBC wrap with >= 3 cells per axis), so all
+# (i, j) combinations across distinct cells count — no i<j filter — and the
+# candidate array is 14/27 the size of the full-stencil version (the
+# dominant allocation/compile cost at 100k atoms, ROADMAP round-1).
+_HALF_STENCIL = np.array(
+    [[0, 0, 0]]
+    + [
+        [dx, dy, dz]
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)
+        if (dx, dy, dz) > (0, 0, 0)
+    ],
+    dtype=np.int32,
+)  # (14, 3)
 
-    Atoms are binned into cells of edge >= cutoff; candidate pairs are atoms in
-    the same or neighboring (27-stencil) cells. All shapes static; overflow of
-    either the per-cell bucket or the pair capacity is reported.
+
+def _cell_candidates(positions, box, cutoff, n_cells, cell_capacity):
+    """Shared binning + half-stencil candidate generation.
+
+    Returns (good, cand, i_ids, bucket_overflow) where ``good`` marks
+    candidate slots that are real in-cutoff pairs, counted exactly once.
     """
     n = positions.shape[0]
     ncx, ncy, ncz = n_cells
     n_cell_total = ncx * ncy * ncz
-    box_inv = jnp.linalg.inv(box)
+    box_inv = inv3x3(box)
     frac = positions @ box_inv
     frac = frac - jnp.floor(frac)
     cx = jnp.minimum((frac[:, 0] * ncx).astype(jnp.int32), ncx - 1)
@@ -148,29 +166,18 @@ def _cell_pairs(positions, box, cutoff, n_cells, cell_capacity, capacity):
     cell_counts = jnp.zeros(n_cell_total, jnp.int32).at[cell_id].add(1)
     bucket_overflow = jnp.any(cell_counts > cell_capacity)
 
-    # neighbor stencil (27 cells, half to avoid double counting handled by i<j)
-    sx, sy, sz = jnp.meshgrid(
-        jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2), indexing="ij"
-    )
-    stencil = jnp.stack([sx.ravel(), sy.ravel(), sz.ravel()], axis=-1)  # (27, 3)
-
+    stencil = jnp.asarray(_HALF_STENCIL)
     my_cell = jnp.stack([cx, cy, cz], axis=-1)  # (n, 3)
     neigh = my_cell[:, None, :] + stencil[None, :, :]
-    neigh = jnp.stack(
-        [
-            jnp.mod(neigh[..., 0], ncx),
-            jnp.mod(neigh[..., 1], ncy),
-            jnp.mod(neigh[..., 2], ncz),
-        ],
-        axis=-1,
-    )
-    neigh_id = (neigh[..., 0] * ncy + neigh[..., 1]) * ncz + neigh[..., 2]  # (n, 27)
+    neigh_id = (
+        jnp.mod(neigh[..., 0], ncx) * ncy + jnp.mod(neigh[..., 1], ncy)
+    ) * ncz + jnp.mod(neigh[..., 2], ncz)  # (n, 14)
 
-    # candidate partners: (n, 27 * cell_capacity)
+    # candidate partners: (n, 14 * cell_capacity)
     cand = buckets[neigh_id].reshape(n, -1)
     # component-wise displacement math: TPU layouts pad a trailing dim of 3 to
-    # the 128-lane tile, which at 100k atoms turns a (n*675, 3) buffer into
-    # tens of GB; three (n, 675) arrays tile cleanly instead
+    # the 128-lane tile, which at 100k atoms turns a (n*350, 3) buffer into
+    # tens of GB; three (n, 350) arrays tile cleanly instead
     pos_pad = jnp.concatenate([positions, jnp.zeros((1, 3), positions.dtype)])
     px, py, pz = pos_pad[:, 0], pos_pad[:, 1], pos_pad[:, 2]
     dx = px[cand] - positions[:, 0][:, None]
@@ -188,15 +195,52 @@ def _cell_pairs(positions, box, cutoff, n_cells, cell_capacity, capacity):
     wz = s1 * box[0, 2] + s2 * box[1, 2] + s3 * box[2, 2]
     r2 = wx * wx + wy * wy + wz * wz
     i_ids = jnp.broadcast_to(jnp.arange(n)[:, None], cand.shape)
-    good = (cand > i_ids) & (cand < n) & (r2 < cutoff * cutoff)
+    # self cell (stencil slot 0): dedupe with i < j; other cells: every
+    # combination is a distinct unordered pair already
+    in_self = jnp.zeros((1, stencil.shape[0]), bool).at[0, 0].set(True)
+    in_self = jnp.broadcast_to(
+        in_self[:, :, None], (1, stencil.shape[0], cell_capacity)
+    ).reshape(1, -1)
+    dedupe = jnp.where(in_self, cand > i_ids, cand != i_ids)
+    good = dedupe & (cand < n) & (r2 < cutoff * cutoff)
+    return good, cand, i_ids, bucket_overflow
 
+
+@partial(jax.jit, static_argnames=("n_cells", "cell_capacity"))
+def _cell_count(positions, box, cutoff, n_cells, cell_capacity):
+    """Pair count only — a cheap compile (no capacity-wide compaction), used
+    by the allocation path so the expensive nonzero kernel is compiled exactly
+    once at the final bucketed capacity (the probe used to compile the full
+    pipeline at a 16x over-sized capacity: ~half of the round-1 14-minute
+    allocation wall at 98k atoms through the remote-compile tunnel)."""
+    good, _, _, bucket_overflow = _cell_candidates(
+        positions, box, cutoff, n_cells, cell_capacity
+    )
+    return jnp.sum(good), bucket_overflow
+
+
+@partial(jax.jit, static_argnames=("n_cells", "cell_capacity", "capacity"))
+def _cell_pairs(positions, box, cutoff, n_cells, cell_capacity, capacity):
+    """Cell-list neighbor search with static shapes.
+
+    Atoms are binned into cells of edge >= cutoff; candidate pairs come from
+    the half stencil (self + 13 cells). All shapes static; overflow of either
+    the per-cell bucket or the pair capacity is reported.
+    """
+    n = positions.shape[0]
+    good, cand, i_ids, bucket_overflow = _cell_candidates(
+        positions, box, cutoff, n_cells, cell_capacity
+    )
     flat_good = good.ravel()
     n_found = jnp.sum(flat_good)
     sel = jnp.nonzero(flat_good, size=capacity, fill_value=flat_good.shape[0])[0]
     valid = sel < flat_good.shape[0]
     sel_c = jnp.minimum(sel, flat_good.shape[0] - 1)
-    ii = jnp.where(valid, i_ids.ravel()[sel_c], n).astype(jnp.int32)
-    jj = jnp.where(valid, cand.ravel()[sel_c], n).astype(jnp.int32)
+    ii_raw = i_ids.ravel()[sel_c]
+    jj_raw = cand.ravel()[sel_c]
+    # canonical i < j ordering (cross-cell pairs arrive in either order)
+    ii = jnp.where(valid, jnp.minimum(ii_raw, jj_raw), n).astype(jnp.int32)
+    jj = jnp.where(valid, jnp.maximum(ii_raw, jj_raw), n).astype(jnp.int32)
     pairs = jnp.stack([ii, jj], axis=-1)
     return pairs, (n_found > capacity) | bucket_overflow
 
@@ -227,10 +271,13 @@ def neighbor_list_cell(positions, box, cutoff, capacity=None, cell_capacity=None
         max_occ = int(np.bincount(flat).max())
         cell_capacity = max(int(np.ceil(max_occ * padding)) + 2, 8)
     if capacity is None:
-        probe = max(n * 16, 1 << 14)
-        pairs, _ = _cell_pairs(positions, box, cutoff, n_cells, cell_capacity, probe)
-        n_real = int(jnp.sum(pairs[:, 0] < n))
-        capacity = int(-(-int(n_real * padding) // 1024) * 1024)
+        n_real, _ = _cell_count(positions, box, cutoff, n_cells, cell_capacity)
+        want = int(int(n_real) * padding)
+        # coarse shape buckets: multiples of max(1024, 2^(log2(want)-3)) — at
+        # most ~8 distinct capacities per octave, so refreshed allocations at
+        # similar sizes reuse the compiled kernel instead of recompiling
+        bucket = max(1024, 1 << max(int(want).bit_length() - 4, 10))
+        capacity = -(-want // bucket) * bucket
     for _ in range(8):  # auto-retry: never hand back a silently-truncated list
         pairs, overflow = _cell_pairs(
             positions, box, cutoff, n_cells, cell_capacity, capacity

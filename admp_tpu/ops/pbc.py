@@ -8,6 +8,7 @@ leading batch shape, so there is no separate vmapped variant to keep in sync.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from admp_tpu.utils.linalg3 import inv3x3
 
 
 def pbc_shift(dr, box, box_inv=None):
@@ -22,7 +23,7 @@ def pbc_shift(dr, box, box_inv=None):
       (..., 3) wrapped displacements (each fractional component in [-0.5, 0.5)).
     """
     if box_inv is None:
-        box_inv = jnp.linalg.inv(box)
+        box_inv = inv3x3(box)
     ds = dr @ box_inv
     ds = ds - jnp.floor(ds + 0.5)
     return ds @ box
@@ -31,7 +32,7 @@ def pbc_shift(dr, box, box_inv=None):
 def wrap_positions(positions, box, box_inv=None):
     """Wrap absolute positions into the primary cell (fractional in [0, 1))."""
     if box_inv is None:
-        box_inv = jnp.linalg.inv(box)
+        box_inv = inv3x3(box)
     s = positions @ box_inv
     s = s - jnp.floor(s)
     return s @ box

@@ -24,33 +24,50 @@ All inputs are batched over pairs with no vmap needed.
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax.scipy.special import erf
+from jax.scipy.special import erfc
 
 from admp_tpu.utils.accmath import exp_accurate
 from admp_tpu.utils.constants import DEFAULT_THOLE_WIDTH, DIELECTRIC, SQRT_PI
 
 
-def ewald_screening_b(kr, x):
-    """The bVec screening coefficients b_2..b_4 (reference: admp/pme.py:290-300).
+def ewald_screening_s(kr, x, mscale):
+    """Cancellation-free screening sums s_l = mscale + b_l + [l==2] kr x.
 
-    Closed form: b_l = -erf(kr) + sum_{m=1..l-1} 2^m (kr)^(2m-1) x / (2m-1)!!
-    with x = 2 exp(-(kr)^2)/sqrt(pi).
+    The reference builds b_l = -erf(kr) + sum 2^m (kr)^(2m-1) x / (2m-1)!!
+    (admp/pme.py:290-300) and later forms ``mscale + b2 - kr x`` etc. — for
+    full-strength pairs (mscale = 1) that evaluates 1 - erf(kr) by explicit
+    subtraction, which in float32 leaves an *absolute* erf rounding of ~6e-8
+    on a result that decays like erfc (5e-4 at kr = 2.5): up to ~28% relative
+    error on distant-pair coefficients (measured). Regrouping as
+        mscale + b2 - kr x           = (mscale - 1) + erfc(kr)
+        mscale + b2      (=: s2x)    = (mscale - 1) + erfc(kr) + kr x
+        mscale + b3      (=: s3)     = s2x + (2/3) kr^3 x
+        mscale + b4      (=: s4)     = s3 + (4/15) kr^5 x
+    makes every term positive for mscale = 1 (no cancellation; f32 relative
+    error ~ the erfc implementation's own 1e-6 max at the decayed tail).
+
+    Returns (s2, s2x, s3, s4).
     """
-    erf_kr = erf(kr)
     kr2 = kr * kr
     kr3 = kr2 * kr
     kr5 = kr3 * kr2
-    b2 = -erf_kr + kr * x
-    b3 = b2 + 2.0 * kr3 * x / 3.0
-    b4 = b3 + 4.0 * kr5 * x / 15.0
-    return b2, b3, b4
+    ms1 = mscale - 1.0
+    s2 = ms1 + erfc(kr)
+    s2x = s2 + kr * x
+    s3 = s2x + (2.0 / 3.0) * kr3 * x
+    s4 = s3 + (4.0 / 15.0) * kr5 * x
+    return s2, s2x, s3, s4
 
 
 def perm_coefficients(r, mscale, kappa, lmax: int):
     """Screened permanent-multipole interaction coefficients in the QI frame.
 
     Returns dict with cc, cd, dd_m0, dd_m1, cq, dq_m0, dq_m1, qq_m0, qq_m1, qq_m2
-    (each shaped like ``r``). Parity with reference: admp/pme.py:258-334.
+    (each shaped like ``r``). Parity with reference: admp/pme.py:258-334, in
+    the cancellation-free erfc regrouping of :func:`ewald_screening_s`
+    (algebraically identical; s2 = mscale+b2-kr x, s2x = mscale+b2,
+    s3 = mscale+b3, s4 = mscale+b4, and dd_m1's mscale+b3-(2/3)kr^3 x = s2x,
+    qq_m2's mscale+b4-(4/15)kr^5 x = s3).
     """
     r_inv = 1.0 / r
     d1 = DIELECTRIC * r_inv
@@ -63,42 +80,47 @@ def perm_coefficients(r, mscale, kappa, lmax: int):
     kr3 = kr2 * kr
     kr5 = kr3 * kr2
     x = 2.0 * exp_accurate(-kr2) / SQRT_PI
-    b2, b3, b4 = ewald_screening_b(kr, x)
+    s2, s2x, s3, s4 = ewald_screening_s(kr, x, mscale)
 
-    out = {"cc": d1 * (mscale + b2 - kr * x)}
+    out = {"cc": d1 * s2}
     if lmax >= 1:
-        out["cd"] = d2 * (mscale + b2)
-        out["dd_m0"] = -2.0 / 3.0 * d3 * (3.0 * (mscale + b3) + kr3 * x)
-        out["dd_m1"] = d3 * (mscale + b3 - (2.0 / 3.0) * kr3 * x)
+        out["cd"] = d2 * s2x
+        out["dd_m0"] = -2.0 / 3.0 * d3 * (3.0 * s3 + kr3 * x)
+        out["dd_m1"] = d3 * s2x
     if lmax >= 2:
-        out["cq"] = d3 * (mscale + b3)
-        out["dq_m0"] = d4 * (3.0 * (mscale + b3) + (4.0 / 3.0) * kr5 * x)
-        out["dq_m1"] = -jnp.sqrt(3.0) * d4 * (mscale + b3)
+        out["cq"] = d3 * s3
+        out["dq_m0"] = d4 * (3.0 * s3 + (4.0 / 3.0) * kr5 * x)
+        out["dq_m1"] = -jnp.sqrt(3.0) * d4 * s3
         out["qq_m0"] = d5 * (
-            6.0 * (mscale + b4) + (4.0 / 45.0) * (-3.0 + 10.0 * kr2) * kr5 * x
+            6.0 * s4 + (4.0 / 45.0) * (-3.0 + 10.0 * kr2) * kr5 * x
         )
-        out["qq_m1"] = -(4.0 / 15.0) * d5 * (15.0 * (mscale + b4) + kr5 * x)
-        out["qq_m2"] = d5 * (mscale + b4 - (4.0 / 15.0) * kr5 * x)
+        out["qq_m1"] = -(4.0 / 15.0) * d5 * (15.0 * s4 + kr5 * x)
+        out["qq_m2"] = d5 * s3
     return out
 
 
-def thole_factors(u_scaled):
-    """Thole damping factors (c, d0, d1, q0, q1) given au = a * r / dmp.
+def thole_factor_complements(u_scaled):
+    """Thole damping factor *complements* (c-1, d0-1, d1-1, q0-1, q1-1) given
+    au = a * r / dmp.
 
-    Parity with reference: admp/pme.py:418-432; the exp(-au) overflow clamp at
-    au > 50 becomes a plain where.
+    Parity with reference: admp/pme.py:418-432 (which forms 1 - exp(-au)(...)),
+    returned as the exact complements -exp(-au)(...) so callers can regroup
+    the screened coefficients cancellation-free (see ewald_screening_s): at
+    large au the damping factor is 1 to within f32 epsilon and the subtraction
+    would destroy the tiny complement that actually carries the physics.
+    The exp overflow clamp at au > 50 becomes a plain where.
     """
     au = u_scaled
     exp_au = jnp.where(au < 50.0, exp_accurate(-jnp.minimum(au, 50.0)), 0.0)
     au2 = au * au
     au3 = au2 * au
     au4 = au3 * au
-    c = 1.0 - exp_au * (1.0 + au + 0.5 * au2)
-    d0 = 1.0 - exp_au * (1.0 + au + 0.5 * au2 + au3 / 4.0)
-    d1 = c
-    q0 = 1.0 - exp_au * (1.0 + au + 0.5 * au2 + au3 / 6.0 + au4 / 18.0)
-    q1 = 1.0 - exp_au * (1.0 + au + 0.5 * au2 + au3 / 6.0)
-    return c, d0, d1, q0, q1
+    cm = -exp_au * (1.0 + au + 0.5 * au2)
+    d0m = -exp_au * (1.0 + au + 0.5 * au2 + au3 / 4.0)
+    d1m = cm
+    q0m = -exp_au * (1.0 + au + 0.5 * au2 + au3 / 6.0 + au4 / 18.0)
+    q1m = -exp_au * (1.0 + au + 0.5 * au2 + au3 / 6.0)
+    return cm, d0m, d1m, q0m, q1m
 
 
 def induced_coefficients(r, thole1, thole2, dmp, pscale, kappa, lmax: int):
@@ -117,7 +139,7 @@ def induced_coefficients(r, thole1, thole2, dmp, pscale, kappa, lmax: int):
 
     dmp_safe = jnp.maximum(dmp, 1e-8)
     u = jnp.minimum(r / dmp_safe, 1e8)
-    tc, td0, td1, tq0, tq1 = thole_factors(a * u)
+    tcm, td0m, td1m, tq0m, tq1m = thole_factor_complements(a * u)
 
     r_inv = 1.0 / r
     d2 = DIELECTRIC * r_inv * r_inv
@@ -128,18 +150,29 @@ def induced_coefficients(r, thole1, thole2, dmp, pscale, kappa, lmax: int):
     kr3 = kr2 * kr
     kr5 = kr3 * kr2
     x = 2.0 * exp_accurate(-kr2) / SQRT_PI
-    b2, b3, _ = ewald_screening_b(kr, x)
+    # cancellation-free regrouping (see ewald_screening_s):
+    #   pscale * t + b2            = pscale * (t-1) + (pscale-1) + erfc + kr x
+    #   pscale * t + b3            = ... + (2/3) kr^3 x
+    #   pscale * t + b3 - 2/3kr^3x = pscale * (t-1) + (pscale-1) + erfc + kr x
+    # (uscale = 1 terms drop the (pscale-1); reference: admp/pme.py:472)
+    ps1 = pscale - 1.0
+    e2 = erfc(kr) + kr * x
+    e3 = e2 + (2.0 / 3.0) * kr3 * x
 
-    out = {"cud": 2.0 * d2 * (pscale * tc + b2)}
+    out = {"cud": 2.0 * d2 * (pscale * tcm + ps1 + e2)}
     if lmax >= 1:
-        out["dud_m0"] = -4.0 / 3.0 * d3 * (3.0 * (pscale * td0 + b3) + kr3 * x)
-        out["dud_m1"] = 2.0 * d3 * (pscale * td1 + b3 - 2.0 / 3.0 * kr3 * x)
+        out["dud_m0"] = -4.0 / 3.0 * d3 * (
+            3.0 * (pscale * td0m + ps1 + e3) + kr3 * x
+        )
+        out["dud_m1"] = 2.0 * d3 * (pscale * td1m + ps1 + e2)
     if lmax >= 2:
-        out["udq_m0"] = 2.0 * d4 * (3.0 * (pscale * tq0 + b3) + 4.0 / 3.0 * kr5 * x)
-        out["udq_m1"] = -2.0 * jnp.sqrt(3.0) * d4 * (pscale * tq1 + b3)
+        out["udq_m0"] = 2.0 * d4 * (
+            3.0 * (pscale * tq0m + ps1 + e3) + 4.0 / 3.0 * kr5 * x
+        )
+        out["udq_m1"] = -2.0 * jnp.sqrt(3.0) * d4 * (pscale * tq1m + ps1 + e3)
     # induced-induced, uscale = 1
-    out["udud_m0"] = -2.0 / 3.0 * d3 * (3.0 * (td0 + b3) + kr3 * x)
-    out["udud_m1"] = d3 * (td1 + b3 - 2.0 / 3.0 * kr3 * x)
+    out["udud_m0"] = -2.0 / 3.0 * d3 * (3.0 * (td0m + e3) + kr3 * x)
+    out["udud_m1"] = d3 * (td1m + e2)
     return out
 
 

@@ -26,10 +26,43 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from admp_tpu.utils.linalg3 import det3x3, inv3x3
 
 from admp_tpu.ops import bsplines
+from admp_tpu.utils.accmath import compensated_sum
 
 RT3 = 1.7320508075688772
+
+
+def spectrum_sq(mesh, force_split: bool = False):
+    """|FFT(mesh)|^2 over the rfft half-spectrum, in ``mesh.dtype``.
+
+    TPU has no float64 FFT, but the FFT is linear: split a float64 mesh into
+    hi/lo float32 parts and transform each (FFT(hi) + FFT(lo) carries the full
+    f64 input information; the only loss is the f32 FFT's own internal
+    rounding, measured ~2.4e-7 relative force RMSE — below the 1e-6 target).
+    The magnitude is then assembled in float64 elementwise arithmetic, which
+    the TPU emulates. On CPU the native f64 FFT is used (``force_split`` is
+    for tests that exercise the TPU path on CPU).
+    """
+    if mesh.dtype == jnp.float64 and (
+        force_split or jax.default_backend() != "cpu"
+    ):
+        hi32 = mesh.astype(jnp.float32)
+        lo32 = (mesh - hi32.astype(mesh.dtype)).astype(jnp.float32)
+        sh = jnp.fft.rfftn(hi32)
+        sl = jnp.fft.rfftn(lo32)
+        re = sh.real.astype(mesh.dtype) + sl.real.astype(mesh.dtype)
+        im = sh.imag.astype(mesh.dtype) + sl.imag.astype(mesh.dtype)
+        return re * re + im * im
+    s_k = jnp.fft.rfftn(mesh)
+    return jnp.real(s_k * jnp.conj(s_k))
+
+
+def _reduce_energy(terms, compensated: bool):
+    if compensated and terms.dtype == jnp.float32:
+        return compensated_sum(terms)
+    return jnp.sum(terms)
 
 
 def mesh_coordinates(positions, box, grid_shape):
@@ -42,7 +75,7 @@ def mesh_coordinates(positions, box, grid_shape):
       dug_dx: (3, 3) Jacobian d(u)/d(x) (u_j rows, x_c cols): N_j * invbox[c, j].
     """
     n = jnp.asarray(grid_shape, dtype=positions.dtype)
-    box_inv = jnp.linalg.inv(box)
+    box_inv = inv3x3(box)
     # u-grid coordinate i of atom a: N_i * (x @ box_inv)_i
     r_in_m = (positions @ box_inv) * n
     m_u0 = jnp.ceil(r_in_m).astype(jnp.int32)
@@ -126,7 +159,8 @@ def spread_weights(u0, dug_dx, lmax: int):
 
 def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
                    atom_chunk: int | None = None, method: str = "scatter",
-                   interpret: bool = False, precision: str | None = None):
+                   interpret: bool = False, precision: str | None = None,
+                   mesh_dtype=None):
     """Spread harmonic multipoles onto the (K1, K2, K3) charge mesh.
 
     Quadrupole channels carry the 1/3 prefactor of the MPID convention
@@ -142,6 +176,11 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
     weight pipeline carries essentially ALL of the f32 reciprocal force error
     (3.6e-4 -> 6.7e-6 relative with this on; scatter/FFT/convolution rounding
     is negligible). Requires jax_enable_x64.
+
+    ``mesh_dtype``: accumulate the mesh in this dtype instead of the working
+    dtype (the full-f64 reciprocal path scatters float64 stencil values into a
+    float64 grid — elementwise-emulated on TPU; the FFT splits hi/lo, see
+    spectrum_sq).
     """
     k1, k2, k3 = grid_shape
     if atom_chunk is not None and positions.shape[0] > atom_chunk:
@@ -158,13 +197,13 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
             p_blk, q_blk = blk
             return mesh + spread_to_mesh(
                 p_blk, box, q_blk, grid_shape, lmax, None, method, interpret,
-                precision,
+                precision, mesh_dtype,
             ), 0.0
 
-        mesh0 = jnp.zeros((k1, k2, k3), q_harm.dtype)
+        mesh0 = jnp.zeros((k1, k2, k3), mesh_dtype or q_harm.dtype)
         mesh, _ = jax.lax.scan(body, mesh0, (pos_b, q_b))
         return mesh
-    work_dtype = q_harm.dtype
+    work_dtype = mesh_dtype or q_harm.dtype
     if precision == "f64":
         positions_w = positions.astype(jnp.float64)
         box_w = box.astype(jnp.float64)
@@ -246,7 +285,7 @@ def convolve_energy_multi(meshes, box, kappa, ck_fns, include_gamma, prefactor=1
     """Influence-function convolution for channel-stacked meshes
     (one rfft batched over the trailing channel axis)."""
     grid_shape = meshes.shape[:3]
-    volume = jnp.linalg.det(box)
+    volume = det3x3(box)
     ksq, theta_sq = k_space_grids(box, grid_shape, meshes.dtype, rfft=True)
     s_k = jnp.fft.rfftn(meshes, axes=(0, 1, 2))
     s_sq = jnp.real(s_k * jnp.conj(s_k))  # (K1, K2, K3h, C)
@@ -284,7 +323,7 @@ def make_disp_pme_recip(ck_fns, kappa, grid_shape, static_box=None):
         box0 = jnp.asarray(static_box)
         dtype = jnp.zeros(0).dtype
         ksq, theta_sq = k_space_grids(box0, grid_shape, dtype, rfft=True)
-        volume = jnp.linalg.det(box0)
+        volume = det3x3(box0)
         w3 = _hermitian_weights(grid_shape[2], dtype)
         nonzero = ksq > 0.0
         ksq_safe = jnp.where(nonzero, ksq, 1.0)
@@ -331,7 +370,7 @@ def k_space_grids(box, grid_shape, dtype, rfft=False):
     (length K3//2 + 1), matching ``jnp.fft.rfftn`` output.
     """
     k1, k2, k3 = grid_shape
-    box_inv = jnp.linalg.inv(box).astype(dtype)
+    box_inv = inv3x3(box).astype(dtype)
     f1 = _fft_int_freqs(k1).astype(dtype)
     f2 = _fft_int_freqs(k2).astype(dtype)
     if rfft:
@@ -364,24 +403,28 @@ def _hermitian_weights(k3: int, dtype):
     return w
 
 
-def convolve_energy(mesh, box, kappa, ck_fn, include_gamma: bool, prefactor=1.0):
+def convolve_energy(mesh, box, kappa, ck_fn, include_gamma: bool, prefactor=1.0,
+                    compensated: bool = False, force_split: bool = False):
     """E = prefactor * sum_k C(k^2) |S_k|^2 / theta_k^2.
 
     The mesh is real, so the spectrum is Hermitian: an rfft over the last axis
     plus multiplicity weights halves the FFT, the influence evaluation, and
-    their adjoints relative to a full complex FFT.
+    their adjoints relative to a full complex FFT. A float64 mesh routes
+    through the hi/lo split FFT (see spectrum_sq) and keeps the influence
+    evaluation and Parseval sum in float64.
     """
     grid_shape = mesh.shape
-    volume = jnp.linalg.det(box)
+    box = box.astype(mesh.dtype)
+    volume = det3x3(box)
     ksq, theta_sq = k_space_grids(box, grid_shape, mesh.dtype, rfft=True)
-    s_k = jnp.fft.rfftn(mesh)
-    s_sq = jnp.real(s_k * jnp.conj(s_k))
+    s_sq = spectrum_sq(mesh, force_split)
 
     nonzero = ksq > 0.0
     ksq_safe = jnp.where(nonzero, ksq, 1.0)
     c_k = jnp.where(nonzero, ck_fn(ksq_safe, kappa, volume), 0.0)
     w3 = _hermitian_weights(grid_shape[2], mesh.dtype)
-    energy = jnp.sum((c_k / theta_sq * w3[None, None, :]) * s_sq)
+    energy = _reduce_energy((c_k / theta_sq * w3[None, None, :]) * s_sq,
+                            compensated)
     if include_gamma:
         c0 = ck_fn.at_zero(kappa, volume)
         energy = energy + c0 * s_sq[0, 0, 0] / theta_sq[0, 0, 0]
@@ -390,20 +433,34 @@ def convolve_energy(mesh, box, kappa, ck_fn, include_gamma: bool, prefactor=1.0)
 
 def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0,
                    spread_method: str = "scatter",
-                   spread_precision: str | None = None):
+                   spread_precision: str | None = None,
+                   recip_precision: str | None = None,
+                   compensated: bool = False):
     """Build a reciprocal-space energy function (positions, box, Q) -> energy.
 
     Matches the reference factory generate_pme_recip (admp/recip.py:21) with
     pme_order fixed at 6 (the only order the reference implements).
+
+    ``recip_precision='f64'``: float64 mesh accumulation, hi/lo split FFT,
+    float64 influence convolution (implies the f64 spread-weight pipeline).
+    The energy is returned in the working dtype of ``q_harm``.
     """
     grid_shape = tuple(int(k) for k in grid_shape)
+    if recip_precision == "f64":
+        spread_precision = "f64"
+        if spread_method == "pallas":
+            spread_method = "scatter"  # the slab kernel is f32-only
 
     def pme_recip(positions, box, q_harm):
         atom_chunk = 4096 if positions.shape[0] > 16384 else None
+        mesh_dtype = jnp.float64 if recip_precision == "f64" else None
         mesh = spread_to_mesh(
             positions, box, q_harm, grid_shape, lmax, atom_chunk, spread_method,
-            False, spread_precision,
+            False, spread_precision, mesh_dtype,
         )
-        return convolve_energy(mesh, box, kappa, ck_fn, include_gamma, prefactor)
+        energy = convolve_energy(
+            mesh, box, kappa, ck_fn, include_gamma, prefactor, compensated,
+        )
+        return energy.astype(q_harm.dtype)
 
     return pme_recip

@@ -8,6 +8,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from admp_tpu.utils.accmath import compensated_sum
 from admp_tpu.utils.constants import DIELECTRIC
 
 
@@ -16,13 +17,22 @@ def pme_self_energy(q_harm, kappa, lmax: int = 2):
 
     E_self = - kappa/sqrt(pi) * sum_a sum_lm (2 kappa^2)^l / (2l+1)!! * Q_lm^2 * DIELECTRIC
     (reference: admp/pme.py:738-757).
+
+    The sum reaches ~1e6 kJ/mol magnitudes that cancel against the real-space
+    exclusion corrections, so in float32 it is accumulated with the error-free
+    TwoSum tree (utils/accmath.py) — plain f32 tree summation here costs
+    ~0.5 kJ/mol of the total-energy budget.
     """
     n_harm = (lmax + 1) ** 2
     l_list = np.array([0] + [1] * 3 + [2] * 5)[:n_harm]
     l_fac2 = np.array([1] + [3] * 3 + [15] * 5)[:n_harm]
     factor = kappa / np.sqrt(np.pi) * (2.0 * kappa**2) ** l_list / l_fac2
     factor = jnp.asarray(factor, dtype=q_harm.dtype)
-    return -jnp.sum(factor[None, :] * q_harm[:, :n_harm] ** 2) * DIELECTRIC
+    terms = factor[None, :] * q_harm[:, :n_harm] ** 2
+    total = (
+        compensated_sum(terms) if terms.dtype == jnp.float32 else jnp.sum(terms)
+    )
+    return -total * DIELECTRIC
 
 
 def polarization_penalty(u_ind, pol):

@@ -8,6 +8,7 @@ host-side filtering.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from admp_tpu.utils.linalg3 import inv3x3
 
 from admp_tpu.ops.pbc import pbc_shift
 from admp_tpu.utils.accmath import exp_accurate
@@ -48,15 +49,18 @@ def expand_pairs(positions, box, pairs, covalent_map, scales):
     mask = raw_i < raw_j
     i = jnp.minimum(raw_i, n - 1)
     j = jnp.minimum(raw_j, n - 1)
-    box_inv = jnp.linalg.inv(box)
+    box_inv = inv3x3(box)
     dr = pbc_shift(positions[i] - positions[j], box, box_inv)
     r2 = jnp.sum(dr * dr, axis=-1)
     r2 = jnp.where(mask, r2, 1.0)
     r = jnp.sqrt(r2)
-    from admp_tpu.ops.exclusions import lookup_topology_distance
+    from admp_tpu.ops.exclusions import (
+        lookup_topology_distance,
+        scale_for_distance,
+    )
 
     nbond = lookup_topology_distance(covalent_map, i, j)
-    mscale = scales[(nbond - 1) % scales.shape[0]]
+    mscale = scale_for_distance(scales, nbond)
     return mask, i, j, r, mscale
 
 

@@ -26,6 +26,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from admp_tpu.utils.linalg3 import det3x3, inv3x3
 from jax.sharding import Mesh, PartitionSpec as P
 
 from admp_tpu.models.pme import pme_real_energy
@@ -66,7 +67,7 @@ def _sharded_recip_energy(positions, box, q_tot, grid_shape, kappa, lmax,
 
     # k-space grids for the local transposed slab
     dtype = slab.dtype
-    box_inv = jnp.linalg.inv(box).astype(dtype)
+    box_inv = inv3x3(box).astype(dtype)
     f1 = _fft_int_freqs(k1).astype(dtype)
     k2_local = k2 // n_dev
     f2 = _fft_int_freqs(k2).astype(dtype)
@@ -83,7 +84,7 @@ def _sharded_recip_energy(positions, box, q_tot, grid_shape, kappa, lmax,
     t3 = bsplines.euler_spline_theta(f3, k3)
     theta_sq = (t1[:, None, None] * t2[None, :, None] * t3[None, None, :]) ** 2
 
-    volume = jnp.linalg.det(box)
+    volume = det3x3(box)
     s_sq = jnp.real(s_k * jnp.conj(s_k))
     nonzero = ksq > 0.0
     ksq_safe = jnp.where(nonzero, ksq, 1.0)
@@ -99,29 +100,52 @@ def _sharded_recip_energy(positions, box, q_tot, grid_shape, kappa, lmax,
 
 
 def _make_local_energy(axis_name, n_dev, grid_shape, kappa, lmax,
-                       axis_types, axis_indices, covalent_map):
-    """Per-device energy body (to be wrapped in shard_map over axis_name)."""
+                       axis_types, axis_indices, covalent_map,
+                       lpol: bool = False):
+    """Per-device energy body (to be wrapped in shard_map over axis_name).
+
+    With ``lpol`` the body takes the polarizable argument tail
+    (u_ind, pol, tholes, p_scales after m_scales) and adds the induced real
+    terms, the induced reciprocal/self contributions, and the polarization
+    penalty — the same total as models/pme.energy_pme with lpol=True.
+    """
+    from admp_tpu.ops.exclusions import SparseExclusions
+    from admp_tpu.ops.harmonics import cart_dipole_to_harm
     from admp_tpu.ops.influence import ck_1
+    from admp_tpu.ops.selfenergy import polarization_penalty
 
     axis_types = jnp.asarray(axis_types)
     axis_indices = jnp.asarray(axis_indices)
-    covalent_map = jnp.asarray(covalent_map)
+    if not isinstance(covalent_map, SparseExclusions):
+        covalent_map = jnp.asarray(covalent_map)
     grid_shape = tuple(int(k) for k in grid_shape)
 
-    def _local(positions, box, pairs_local, q_local, m_scales):
+    def _shared(positions, box, pairs_local, q_local, m_scales,
+                u_ind, pol, tholes, p_scales):
         frames = construct_local_frames(positions, box, axis_types, axis_indices)
         q_global = rot_local2global(q_local, frames, lmax)
+        u_harm = cart_dipole_to_harm(u_ind) if lpol else None
         e_real = pme_real_energy(
-            positions, box, pairs_local, q_global, None, None, None,
-            m_scales, None, covalent_map, kappa, lmax, False,
+            positions, box, pairs_local, q_global, u_harm, pol, tholes,
+            m_scales, p_scales, covalent_map, kappa, lmax, lpol,
         )
         e_real = jax.lax.psum(e_real, axis_name)
+        q_tot = q_global.at[:, 1:4].add(u_harm) if lpol else q_global
         e_recip = _sharded_recip_energy(
-            positions, box, q_global, grid_shape, kappa, lmax,
+            positions, box, q_tot, grid_shape, kappa, lmax,
             ck_1, False, DIELECTRIC, axis_name, n_dev,
         )
-        e_self = pme_self_energy(q_global, kappa, lmax)
+        e_self = pme_self_energy(q_tot, kappa, lmax)
+        if lpol:
+            e_self = e_self + polarization_penalty(u_ind, pol)
         return e_real + e_recip + e_self
+
+    if lpol:
+        return _shared
+
+    def _local(positions, box, pairs_local, q_local, m_scales):
+        return _shared(positions, box, pairs_local, q_local, m_scales,
+                       None, None, None, None)
 
     return _local
 
@@ -156,6 +180,74 @@ def make_sharded_pme_energy(
         in_specs=(P(), P(), P(axis_name, None), P(), P()),
         out_specs=P(),
     )
+
+
+def make_sharded_pol_energy(
+    mesh: Mesh,
+    axis_name: str,
+    *,
+    grid_shape,
+    kappa,
+    lmax: int,
+    axis_types,
+    axis_indices,
+    covalent_map,
+    scf_config=None,
+):
+    """Sharded *polarizable* PME: the fixed-multipole machinery of
+    :func:`make_sharded_pme_energy` extended with Thole-damped induced dipoles,
+    solved by the same implicit-VJP PCG as the single-device path
+    (scf/solver.py) — the field operator inside the PCG matvec is exactly the
+    u-gradient of the sharded energy, so the solver composes from *outside*
+    the shard_map: its while_loop iterations each run one sharded
+    field evaluation (pair-sharded real space, atom-sharded spreading,
+    pencil FFT) with the collectives' transposes providing the sharded
+    adjoints. Requires lmax >= 1.
+
+    Returns ``energy_and_aux(positions, box, pairs, q_local, pol, tholes,
+    m_scales, p_scales, u_init) -> (energy, (u_star, converged, n_iter))``,
+    jit-compatible and differentiable (exact implicit gradients, including
+    through parameters). ``pairs`` is consumed sharded along its leading axis.
+    """
+    from admp_tpu.scf.solver import make_induced_dipole_solver
+    from admp_tpu.settings import SCFConfig
+
+    local = _make_local_energy(
+        axis_name, mesh.shape[axis_name], grid_shape, kappa, lmax,
+        axis_types, axis_indices, covalent_map, lpol=True,
+    )
+    energy_u = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(axis_name, None), P(), P(), P(), P(), P(), P(),
+        ),
+        out_specs=P(),
+    )
+
+    def field_fn(u, inputs):
+        return jax.grad(energy_u, argnums=5)(
+            inputs["positions"], inputs["box"], inputs["pairs"],
+            inputs["q_local"], inputs["m_scales"], u, inputs["pol"],
+            inputs["tholes"], inputs["p_scales"],
+        )
+
+    solver = make_induced_dipole_solver(field_fn, scf_config or SCFConfig())
+
+    def energy_and_aux(positions, box, pairs, q_local, pol, tholes,
+                       m_scales, p_scales, u_init):
+        inputs = dict(
+            positions=positions, box=box, pairs=pairs, q_local=q_local,
+            pol=pol, tholes=tholes, m_scales=m_scales, p_scales=p_scales,
+        )
+        u_star, (converged, n_iter) = solver(inputs, u_init, pol)
+        energy = energy_u(
+            positions, box, pairs, q_local, m_scales, u_star, pol, tholes,
+            p_scales,
+        )
+        return energy, (u_star, converged, n_iter)
+
+    return energy_and_aux
 
 
 def make_sharded_batch_energy(mesh: Mesh, data_axis: str, model_axis: str, **kw):

@@ -66,5 +66,66 @@ class SCFConfig:
     pol_eps: float = 0.001  # sites with pol below this do not count for convergence
 
 
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Unified engine configuration (SURVEY §5: one dataclass instead of the
+    reference's module globals + scattered constructor args).
+
+    Grid:
+      fft_friendly_grid: round the OpenMM mesh heuristic up to 5-smooth sizes.
+    Spreading:
+      spread_method: 'scatter' (flat 1D XLA scatter) or 'pallas' (slab kernel).
+      spread_precision: None or 'f64' — evaluate the B-spline weight pipeline
+        in float64 (requires jax_enable_x64; elementwise-emulated on TPU).
+    Precision (north star: f32 force RMSE < 1e-6 vs f64, BASELINE.md):
+      realspace_precision: None or 'f64' — evaluate the topological-exclusion
+        pairs (the large-magnitude intramolecular Ewald corrections that
+        dominate the f32 real-space force error, ROADMAP.md) in float64 on a
+        static exclusion-pair list; all other pairs stay in the working dtype.
+      recip_precision: None or 'f64' — full float64 reciprocal path: f64 mesh
+        accumulation, hi/lo-split f32 FFTs (TPU has no f64 FFT; the FFT is
+        linear so FFT(hi)+FFT(lo) loses nothing beyond the f32 FFT's own
+        ~2e-7), f64 influence convolution and Parseval sum.
+      compensated_sums: sum pair energies / Parseval terms with an error-free
+        TwoSum reduction tree (error O(n eps^2) instead of O(log n eps)).
+    Dispersion:
+      pmax_recip: reciprocal-space pmax override (e.g. 6 drops the C8/C10
+        k-space channels, which are physically tiny at kappa*rc ~ 2.6; real
+        and self space keep full pmax). None = match pmax.
+      disp_ethresh: separate (looser) Ewald accuracy target for the dispersion
+        grids; the r^-6..r^-10 kernels are far smoother in k-space than
+        Coulomb at equal ethresh. None = share the electrostatic ethresh.
+      cache_influence: precompute fixed-cell influence grids as device
+        constants (no box gradients through the dispersion influence term).
+    SCF:
+      scf: induced-dipole solver configuration.
+    """
+
+    fft_friendly_grid: bool = False
+    spread_method: str = "scatter"
+    spread_precision: str | None = None
+    realspace_precision: str | None = None
+    recip_precision: str | None = None
+    compensated_sums: bool = True
+    pmax_recip: int | None = None
+    disp_ethresh: float | None = None
+    cache_influence: bool = False
+    scf: SCFConfig = dataclasses.field(default_factory=SCFConfig)
+
+    @classmethod
+    def high_accuracy(cls, **overrides):
+        """Preset targeting < 1e-6 relative f32 force RMSE vs float64:
+        float64 exclusion pairs, spread weights, and reciprocal path.
+        Requires jax_enable_x64 (float64 is elementwise-emulated on TPU)."""
+        base = dict(
+            spread_precision="f64",
+            realspace_precision="f64",
+            recip_precision="f64",
+            compensated_sums=True,
+        )
+        base.update(overrides)
+        return cls(**base)
+
+
 def default_dtype():
     return jax.numpy.zeros(0).dtype
