@@ -115,3 +115,50 @@ def run_nve(force_fn, masses, dt, state: MDState, n_steps: int, report_every=0):
         body_flat, flat_state, None, length=n_steps
     )
     return MDState(pos, vel, frc, aux), kes
+
+
+def run_nve_metrics(force_fn, masses, dt, state: MDState, n_steps: int,
+                    metrics_fn=None):
+    """NVE segment with structured per-step metrics (SURVEY §5 observability).
+
+    ``metrics_fn(state) -> dict[str, scalar]`` is evaluated each step inside
+    the scan (e.g. the force object's ``get_metrics`` for term energies and
+    SCF diagnostics); kinetic and total energies are always included. Returns
+    (final_state, metrics) where metrics is a dict of (n_steps,) arrays —
+    feed to :func:`format_metrics_lines` for log output.
+    """
+    step = make_nve_step(force_fn, masses, dt)
+    m = masses[:, None]
+
+    def kinetic(v):
+        return 0.5 * jnp.sum(m * v * v) / _ACC
+
+    def body(carry, _):
+        st = MDState(*carry)
+        new = step(st)
+        rec = {"e_kinetic": kinetic(new.velocities)}
+        if metrics_fn is not None:
+            rec.update(metrics_fn(new))
+        return (new.positions, new.velocities, new.forces, new.aux), rec
+
+    flat = (state.positions, state.velocities, state.forces, state.aux)
+    (pos, vel, frc, aux), recs = jax.lax.scan(body, flat, None, length=n_steps)
+    return MDState(pos, vel, frc, aux), recs
+
+
+def format_metrics_lines(metrics, every: int = 1):
+    """Render scanned metrics arrays as structured one-line JSON records."""
+    import json
+
+    import numpy as np
+
+    keys = sorted(metrics)
+    n = len(np.asarray(metrics[keys[0]]))
+    lines = []
+    for i in range(0, n, every):
+        rec = {"step": i}
+        for k in keys:
+            v = np.asarray(metrics[k])[i]
+            rec[k] = bool(v) if v.dtype == np.bool_ else float(v)
+        lines.append(json.dumps(rec))
+    return lines

@@ -141,6 +141,109 @@ def pme_real_energy(
     return jnp.sum(jnp.where(mask, e, 0.0))
 
 
+def pme_real_uu_energy(
+    positions,
+    box,
+    pairs,
+    u_ind_harm,
+    pol,
+    tholes,
+    p_scales,
+    covalent_map,
+    kappa,
+    pair_chunk: int | None = None,
+):
+    """Real-space induced-induced energy only: u^T A_real u / 2 terms.
+
+    The u-quadratic slice of pme_real_energy's lpol branch, for the cheap SCF
+    matvec (see induced_quadratic_energy)."""
+    if pair_chunk is not None and pairs.shape[0] > pair_chunk:
+        n_pad = (-pairs.shape[0]) % pair_chunk
+        padded = jnp.concatenate(
+            [pairs, jnp.full((n_pad, 2), positions.shape[0], pairs.dtype)]
+        )
+        blocks = padded.reshape(-1, pair_chunk, 2)
+        energies = jax.lax.map(
+            lambda blk: pme_real_uu_energy(
+                positions, box, blk, u_ind_harm, pol, tholes, p_scales,
+                covalent_map, kappa,
+            ),
+            blocks,
+        )
+        return jnp.sum(energies)
+    n = positions.shape[0]
+    raw_i, raw_j = pairs[..., 0], pairs[..., 1]
+    mask = raw_i < raw_j
+    i = jnp.minimum(raw_i, n - 1)
+    j = jnp.minimum(raw_j, n - 1)
+
+    box_inv = inv3x3(box)
+    r1 = positions[i]
+    r2 = positions[j]
+    dr = pbc_shift(r1 - r2, box, box_inv)
+    r = masked_norm(dr, mask)
+    frames_qi = build_quasi_internal(r1, r2, dr, r)
+    ui = rot_dipole_global2local(u_ind_harm[i], frames_qi)
+    uj = rot_dipole_global2local(u_ind_harm[j], frames_qi)
+
+    from admp_tpu.ops.exclusions import (
+        lookup_topology_distance,
+        scale_for_distance,
+    )
+
+    nbond = lookup_topology_distance(covalent_map, i, j)
+    pscale = scale_for_distance(p_scales, nbond)
+    dmp = realspace.pair_damping_width(pol[i], pol[j])
+    m0, m1 = realspace.induced_uu_coefficients(
+        r, tholes[i], tholes[j], dmp, pscale, kappa
+    )
+    e = m0 * uj[..., 0] * ui[..., 0] + m1 * (
+        uj[..., 1] * ui[..., 1] + uj[..., 2] * ui[..., 2]
+    )
+    return jnp.sum(jnp.where(mask, e, 0.0))
+
+
+def make_induced_quadratic_energy(covalent_map, kappa, grid_shape, config):
+    """Build E_uu(v): the exactly-u-quadratic part of the polarizable energy.
+
+    grad_v E_uu(v) == field(v) - field(0) == A v (the SCF system matrix
+    applied to v), but costs a fraction of a full field evaluation: no
+    permanent interaction tensors, an lmax=1 dipole-only mesh (4 spread
+    channels and no second-derivative splines instead of 9 channels), and the
+    dipole self-energy. Collected terms: real-space udud, |S(u)|^2
+    reciprocal, u self-energy, polarization penalty.
+    """
+    recip_uu = make_pme_recip(
+        ck_1,
+        kappa,
+        include_gamma=False,
+        grid_shape=grid_shape,
+        lmax=1,
+        prefactor=DIELECTRIC,
+        spread_method=config.spread_method,
+        spread_precision=config.spread_precision,
+        recip_precision=config.recip_precision,
+        compensated=config.compensated_sums,
+    )
+
+    def energy_uu(positions, box, pairs, u_ind_cart, pol, tholes, p_scales):
+        pair_chunk = (1 << 18) if pairs.shape[0] > (1 << 20) else None
+        u_harm = cart_dipole_to_harm(u_ind_cart)
+        e = pme_real_uu_energy(
+            positions, box, pairs, u_harm, pol, tholes, p_scales,
+            covalent_map, kappa, pair_chunk,
+        )
+        q_u = jnp.concatenate(
+            [jnp.zeros((u_harm.shape[0], 1), u_harm.dtype), u_harm], axis=-1
+        )
+        e = e + recip_uu(positions, box, q_u)
+        e = e + pme_self_energy(q_u, kappa, 1)
+        e = e + polarization_penalty(u_ind_cart, pol)
+        return e
+
+    return energy_uu
+
+
 def energy_pme(
     positions,
     box,
@@ -460,7 +563,23 @@ class ADMPPmeForce:
                 inputs["mScales"], inputs["pScales"], inputs["dScales"],
             )
 
-        solver = make_induced_dipole_solver(field_fn, self.scf_config)
+        # cheap SCF matvec: the u-quadratic energy slice only (grad == A v,
+        # exactly field(v) - field(0)); every PCG iteration of the forward
+        # solve and of the per-force implicit-adjoint solve uses this instead
+        # of a full field build
+        energy_uu = make_induced_quadratic_energy(
+            covalent_map, kappa, (self.K1, self.K2, self.K3), config
+        )
+        grad_uu = jax.grad(energy_uu, argnums=3)
+
+        def matvec_fn(v, inputs):
+            return grad_uu(
+                inputs["positions"], inputs["box"], inputs["pairs"], v,
+                inputs["pol"], inputs["tholes"], inputs["pScales"],
+            )
+
+        solver = make_induced_dipole_solver(field_fn, self.scf_config,
+                                            matvec_fn=matvec_fn)
 
         def energy_and_aux(positions, box, pairs, Q_local, pol, tholes,
                            mScales, pScales, dScales, U_init):

@@ -249,6 +249,43 @@ def pair_energy_induced(qi_i, qi_j, ui, uj, icoef, lmax: int):
     return 0.5 * (e_ju + e_iu) + e_uu
 
 
+def induced_uu_coefficients(r, thole1, thole2, dmp, pscale, kappa):
+    """Only the induced-induced (udud) screened coefficients.
+
+    The SCF matvec A v needs just the u-quadratic part of the energy; the
+    charge/dipole/quadrupole-to-induced couplings (cud, dud, udq) are linear
+    in u and cancel in field(v) - field(0). Computing only udud keeps the
+    per-iteration cost of the PCG solve (and of every implicit-VJP adjoint
+    solve inside a force evaluation) to a fraction of a full field build.
+    ``pscale`` enters only through the Thole-width switch (the uu scale itself
+    is 1, reference: admp/pme.py:472).
+    """
+    uu = (pscale - 1e-3) / 1e-5
+    w0 = 1.0 / (jnp.exp(jnp.clip(uu, -60.0, 60.0)) + 1.0)
+    a = w0 * DEFAULT_THOLE_WIDTH + (1.0 - w0) * (thole1 + thole2)
+
+    dmp_safe = jnp.maximum(dmp, 1e-8)
+    u = jnp.minimum(r / dmp_safe, 1e8)
+    au = a * u
+    exp_au = jnp.where(au < 50.0, exp_accurate(-jnp.minimum(au, 50.0)), 0.0)
+    au2 = au * au
+    au3 = au2 * au
+    td0m = -exp_au * (1.0 + au + 0.5 * au2 + au3 / 4.0)
+    td1m = -exp_au * (1.0 + au + 0.5 * au2)
+
+    r_inv = 1.0 / r
+    d3 = DIELECTRIC * r_inv * r_inv * r_inv
+    kr = kappa * r
+    kr2 = kr * kr
+    kr3 = kr2 * kr
+    x = 2.0 * exp_accurate(-kr2) / SQRT_PI
+    e2 = erfc(kr) + kr * x
+    e3 = e2 + (2.0 / 3.0) * kr3 * x
+    udud_m0 = -2.0 / 3.0 * d3 * (3.0 * (td0m + e3) + kr3 * x)
+    udud_m1 = d3 * (td1m + e2)
+    return udud_m0, udud_m1
+
+
 def pair_damping_width(pol_i, pol_j):
     """Thole distance rescaling (pol_i pol_j)^(1/6), reference: admp/pme.py:732-735.
 

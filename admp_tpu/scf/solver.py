@@ -97,13 +97,22 @@ def _jacobi(matvec, b, damping, x0, max_iter, tol_field, site_mask):
     return x, jnp.max(jnp.abs(r * site_mask)) < tol_field, n_iter
 
 
-def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig()):
+def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig(),
+                               matvec_fn=None):
     """Build a differentiable SCF solver.
 
     Args:
       field_fn: (u, inputs) -> field, the gradient of the total energy with
         respect to the induced dipoles u (shape (N, 3)); linear in u.
       config: solver configuration.
+      matvec_fn: optional (v, inputs) -> A v, the u-Hessian applied to v —
+        mathematically field_fn(v) - field_fn(0), but implementable at a
+        fraction of the cost (only the u-quadratic terms: no permanent
+        interaction tensors, dipole-only mesh; see
+        models/pme.py make_induced_quadratic_energy). Used for every PCG
+        iteration of the forward solve AND the implicit-adjoint solve inside
+        each force evaluation; field_fn is still evaluated once per solve for
+        the right-hand side b = -field(0).
 
     Returns:
       solve(inputs, u_init, pol) -> (u_star, (converged, n_iter)). Differentiable
@@ -120,8 +129,12 @@ def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig()):
         zero_u = jnp.zeros((pol.shape[0], 3), dtype=pol_ng.dtype)
         field_at_zero = field_fn(zero_u, inputs_ng)
 
-        def matvec(v):
-            return field_fn(v, inputs_ng) - field_at_zero
+        if matvec_fn is not None:
+            def matvec(v):
+                return matvec_fn(v, inputs_ng)
+        else:
+            def matvec(v):
+                return field_fn(v, inputs_ng) - field_at_zero
 
         b = -field_at_zero
         return matvec, b, diag, site_mask

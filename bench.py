@@ -149,14 +149,20 @@ def build_nonpol_workload():
     q_local = convert_cart2harm(jnp.asarray(q_cart), 2)
     m_scales = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0])
 
-    # reference-parity configuration (K from the OpenMM heuristic, kappa
-    # pinned to the MPID value); fixed-cell influence caching for dispersion
+    # reference-parity electrostatics (K from the OpenMM heuristic, kappa
+    # pinned to the MPID value); dispersion grids at disp_ethresh=5e-4 —
+    # measured vs the parity grids (examples/disp_tuning_tpu.out): K 154^3 ->
+    # 101^3, dE -0.52 kJ/mol of 70104 (7e-6 relative), force RMSE 1.3e-7,
+    # full-FF step 63.0 -> 53.8 ms; fixed-cell influence caching on
+    from admp_tpu.settings import EngineConfig
+
     pme = ADMPPmeForce(
         box_j, axis_types, axis_indices, covalent_map, rc, ethresh, lmax=2,
     )
     pme.update_env("kappa", 0.657065221219616)
     disp = ADMPDispPmeForce(
-        box_j, covalent_map, rc, ethresh, pmax=10, cache_influence=True,
+        box_j, covalent_map, rc, ethresh, pmax=10,
+        config=EngineConfig(disp_ethresh=5e-4, cache_influence=True),
     )
     disp.kappa = 0.657065221219616
     disp.refresh_calculators()

@@ -74,3 +74,32 @@ def test_rotation_invariance(setup):
     e0 = _energy(s, pairs, jnp.asarray(pos))
     e1 = _energy(s, pairs, jnp.asarray(pos_rot))
     np.testing.assert_allclose(e1, e0, rtol=1e-7)
+
+
+def test_kappa_invariance_grid_converged(setup):
+    """Tightened variant: with oversized meshes (mesh error << truncation
+    error) and a larger kappa pair, the total must agree ~1000x tighter than
+    the coarse-grid bound above — catches subtle real/recip inconsistencies
+    that hide inside the mesh-error budget."""
+    s, pairs = setup
+    pos = jnp.asarray(s["positions"])
+    # kappa >= 1.0 makes the rc=4 real-space truncation negligible
+    # (erfc(4) ~ 1.5e-8). Mesh convergence is slow and non-monotone at the
+    # ~1e-4 level (quadrupole channels effectively lose spline order), so
+    # both kappas get the same oversized K=160 mesh; measured agreement
+    # there is ~9e-5 (probe: K=64..160 ladder wiggles ~2.5e-4).
+    e1 = _energy(s, pairs, pos, kappa=1.00, grid=(160, 160, 160))
+    e2 = _energy(s, pairs, pos, kappa=1.15, grid=(160, 160, 160))
+    assert abs(e1 - e2) < 3e-4, (e1, e2)
+
+
+def test_translation_invariance_grid_converged(setup):
+    """Sub-grid translation symmetry breaking decays like the B-spline
+    interpolation error (order-6: h^6-ish): doubling the mesh must push the
+    translation variation far below the coarse-grid 0.02 bound."""
+    s, pairs = setup
+    pos = jnp.asarray(s["positions"])
+    grid = (64, 64, 64)
+    e0 = _energy(s, pairs, pos, grid=grid)
+    e1 = _energy(s, pairs, pos + jnp.asarray([1.234, -2.345, 0.567]), grid=grid)
+    np.testing.assert_allclose(e1, e0, atol=2e-4)
