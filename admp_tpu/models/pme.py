@@ -382,7 +382,11 @@ def energy_pme(
             compensated=False,
         )
         e_real = e_real.astype(f64) + e_excl
-    recip_q = q_tot if config.recip_precision == "f64" else q_tot.astype(work_dtype)
+    recip_q = (
+        q_tot
+        if config.recip_precision in ("f64", "f64-dft")
+        else q_tot.astype(work_dtype)
+    )
     e_recip = pme_recip_fn(positions, box, recip_q)
     e_self = pme_self_energy(q_tot, kappa, lmax_eff)
     e_pol = None

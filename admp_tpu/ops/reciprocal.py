@@ -34,6 +34,45 @@ from admp_tpu.utils.accmath import compensated_sum
 RT3 = 1.7320508075688772
 
 
+def _dft_mats(k: int, n_out: int, dtype):
+    """Real cos/sin DFT matrices: C[m, c] = cos(2 pi m c / k), S = sin."""
+    m = np.arange(n_out)[:, None]
+    c = np.arange(k)[None, :]
+    ang = 2.0 * np.pi * (m * c % k) / k
+    return (jnp.asarray(np.cos(ang), dtype), jnp.asarray(np.sin(ang), dtype))
+
+
+def spectrum_sq_dft(mesh):
+    """|DFT(mesh)|^2 over the rfft half-spectrum via explicit matmul DFTs.
+
+    O(K^4) instead of O(K^3 log K), but runs entirely in the mesh dtype:
+    float64 matmuls are exactly emulated on TPU (measured ~3e-15 relative),
+    whereas the hardware f32 FFT's internal rounding (~2.3e-7 spectrum
+    relative) is what holds the f32-pipeline force error at 1.37e-6 on TPU
+    (see ROADMAP round-2 attribution). This is the precision-mode FFT:
+    recip_precision='f64-dft'.
+    """
+    k1, k2, k3 = mesh.shape
+    dtype = mesh.dtype
+    c3, s3 = _dft_mats(k3, k3 // 2 + 1, dtype)
+    # last axis, real input: X[a,b,c] -> (re, im) over k3h modes
+    re = jnp.einsum("abc,kc->abk", mesh, c3)
+    im = -jnp.einsum("abc,kc->abk", mesh, s3)
+    # middle axis, complex: e^{-i t}(R + i I) = (R cos + I sin) + i(I cos - R sin)
+    c2, s2 = _dft_mats(k2, k2, dtype)
+    re, im = (
+        jnp.einsum("abk,mb->amk", re, c2) + jnp.einsum("abk,mb->amk", im, s2),
+        jnp.einsum("abk,mb->amk", im, c2) - jnp.einsum("abk,mb->amk", re, s2),
+    )
+    # leading axis
+    c1, s1 = _dft_mats(k1, k1, dtype)
+    re, im = (
+        jnp.einsum("amk,na->nmk", re, c1) + jnp.einsum("amk,na->nmk", im, s1),
+        jnp.einsum("amk,na->nmk", im, c1) - jnp.einsum("amk,na->nmk", re, s1),
+    )
+    return re * re + im * im
+
+
 def spectrum_sq(mesh, force_split: bool = False):
     """|FFT(mesh)|^2 over the rfft half-spectrum, in ``mesh.dtype``.
 
@@ -404,7 +443,8 @@ def _hermitian_weights(k3: int, dtype):
 
 
 def convolve_energy(mesh, box, kappa, ck_fn, include_gamma: bool, prefactor=1.0,
-                    compensated: bool = False, force_split: bool = False):
+                    compensated: bool = False, force_split: bool = False,
+                    dft: bool = False):
     """E = prefactor * sum_k C(k^2) |S_k|^2 / theta_k^2.
 
     The mesh is real, so the spectrum is Hermitian: an rfft over the last axis
@@ -417,7 +457,7 @@ def convolve_energy(mesh, box, kappa, ck_fn, include_gamma: bool, prefactor=1.0,
     box = box.astype(mesh.dtype)
     volume = det3x3(box)
     ksq, theta_sq = k_space_grids(box, grid_shape, mesh.dtype, rfft=True)
-    s_sq = spectrum_sq(mesh, force_split)
+    s_sq = spectrum_sq_dft(mesh) if dft else spectrum_sq(mesh, force_split)
 
     nonzero = ksq > 0.0
     ksq_safe = jnp.where(nonzero, ksq, 1.0)
@@ -443,23 +483,28 @@ def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0,
 
     ``recip_precision='f64'``: float64 mesh accumulation, hi/lo split FFT,
     float64 influence convolution (implies the f64 spread-weight pipeline).
-    The energy is returned in the working dtype of ``q_harm``.
+    ``'f64-dft'``: same, but with an explicit-matmul DFT instead of the split
+    f32 FFT — removes the hardware FFT's internal rounding entirely (see
+    spectrum_sq_dft). The energy is returned in the working dtype of
+    ``q_harm``.
     """
     grid_shape = tuple(int(k) for k in grid_shape)
-    if recip_precision == "f64":
+    f64_mode = recip_precision in ("f64", "f64-dft")
+    if f64_mode:
         spread_precision = "f64"
         if spread_method == "pallas":
             spread_method = "scatter"  # the slab kernel is f32-only
 
     def pme_recip(positions, box, q_harm):
         atom_chunk = 4096 if positions.shape[0] > 16384 else None
-        mesh_dtype = jnp.float64 if recip_precision == "f64" else None
+        mesh_dtype = jnp.float64 if f64_mode else None
         mesh = spread_to_mesh(
             positions, box, q_harm, grid_shape, lmax, atom_chunk, spread_method,
             False, spread_precision, mesh_dtype,
         )
         energy = convolve_energy(
             mesh, box, kappa, ck_fn, include_gamma, prefactor, compensated,
+            dft=(recip_precision == "f64-dft"),
         )
         return energy.astype(q_harm.dtype)
 

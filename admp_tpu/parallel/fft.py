@@ -37,25 +37,46 @@ def fft3d_pencil(local_slab, axis_name):
     return jnp.fft.fft(x, axis=0)
 
 
+def _rfft_axis2(x):
+    """Half-spectrum real FFT over axis 2 without the rfft primitive.
+
+    The rfft primitive silently mis-tracks under shard_map's varying-axes
+    bookkeeping (wrong values, round-1 note), and the round-1 workaround — a
+    full complex FFT sliced to the half spectrum — pays 2x the local work.
+    The classic even/odd packing recovers the rfft cost using only the plain
+    complex FFT (whose shard_map rules are fine): pack x[2c], x[2c+1] into a
+    length-n/2 complex signal, one FFT, then untangle
+        X_k = E_k + e^(-2 pi i k / n) O_k,   k = 0..n/2
+    with E/O the even/odd sub-spectra from Z_k and conj(Z_{-k}).
+    Requires even n (PME grids always are).
+    """
+    n = x.shape[2]
+    if n % 2:  # odd sizes: fall back to full FFT + slice
+        dtype = jnp.complex64 if x.dtype == jnp.float32 else jnp.complex128
+        return jnp.fft.fft(x.astype(dtype), axis=2)[..., : n // 2 + 1]
+    m = n // 2
+    z = x[..., 0::2] + 1j * x[..., 1::2]
+    zk = jnp.fft.fft(z, axis=2)
+    # Z_{-k mod m}: index 0 -> 0, k -> m-k
+    zmk = jnp.conj(jnp.roll(jnp.flip(zk, axis=2), 1, axis=2))
+    even = 0.5 * (zk + zmk)
+    odd = -0.5j * (zk - zmk)
+    w = jnp.exp(-2j * jnp.pi * jnp.arange(m) / n).astype(zk.dtype)
+    x_k = even + w * odd
+    # Nyquist mode: E and O are m-periodic, so X_{n/2} = E_0 - O_0
+    x_nyq = even[..., :1] - odd[..., :1]
+    return jnp.concatenate([x_k, x_nyq], axis=2)
+
+
 def rfft3d_pencil(local_slab, axis_name):
-    """Real-input variant of :func:`fft3d_pencil`: the local K3 axis uses an
-    rfft (half spectrum), halving interconnect traffic and per-mode work.
+    """Real-input variant of :func:`fft3d_pencil`: the local K3 axis uses a
+    true rfft (half spectrum), halving the local axis-2 transform, the
+    interconnect traffic, and the per-mode k-space work.
 
     Returns (K1, K2/P, K3//2 + 1) — pair with Hermitian multiplicity weights
     (see ops/reciprocal._hermitian_weights) for Parseval sums.
-
-    Implementation note: a true rfft's transpose rule currently clashes with
-    shard_map's varying-axes tracking, so the local K3 transform is a full
-    complex FFT sliced to the half spectrum — the interconnect transpose and
-    all downstream k-space work still operate on half the modes.
     """
-    k3h = local_slab.shape[2] // 2 + 1
-    x = jnp.fft.fft(
-        local_slab.astype(
-            jnp.complex64 if local_slab.dtype == jnp.float32 else jnp.complex128
-        ),
-        axis=2,
-    )[:, :, :k3h]
+    x = _rfft_axis2(local_slab)
     x = jnp.fft.fft(x, axis=1)
     x = jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=0, tiled=True)
     return jnp.fft.fft(x, axis=0)

@@ -82,10 +82,14 @@ class EngineConfig:
         pairs (the large-magnitude intramolecular Ewald corrections that
         dominate the f32 real-space force error, ROADMAP.md) in float64 on a
         static exclusion-pair list; all other pairs stay in the working dtype.
-      recip_precision: None or 'f64' — full float64 reciprocal path: f64 mesh
+      recip_precision: None, 'f64', or 'f64-dft' — full float64 reciprocal path: f64 mesh
         accumulation, hi/lo-split f32 FFTs (TPU has no f64 FFT; the FFT is
         linear so FFT(hi)+FFT(lo) loses nothing beyond the f32 FFT's own
-        ~2e-7), f64 influence convolution and Parseval sum.
+        ~2e-7), f64 influence convolution and Parseval sum. 'f64-dft'
+        additionally replaces the FFT with explicit-matmul DFTs (O(K^4)):
+        f64 matmuls are exactly emulated on TPU, removing the hardware
+        FFT's internal rounding — the last term holding TPU force error
+        above 1e-6.
       compensated_sums: sum pair energies / Parseval terms with an error-free
         TwoSum reduction tree (error O(n eps^2) instead of O(log n eps)).
     Dispersion:

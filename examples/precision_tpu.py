@@ -47,6 +47,9 @@ MODES = [
     ("high (excl+recip f64)", EngineConfig.high_accuracy()),
     ("ultra (real-all f64)",
      EngineConfig.high_accuracy(realspace_precision="f64-all")),
+    ("ultra-dft (matmul DFT)",
+     EngineConfig.high_accuracy(realspace_precision="f64-all",
+                                recip_precision="f64-dft")),
 ]
 
 

@@ -95,3 +95,17 @@ def test_exclusion_pair_list_matches_dense_semantics(case):
     real_rows = np.asarray(excl[excl[:, 0] < n])
     # water: each molecule contributes O-H1, O-H2 (dist 1) and H1-H2 (dist 2)
     assert real_rows.shape[0] == n  # 3 exclusion pairs per 3-atom molecule
+
+
+def test_ultra_dft_mode(case):
+    """'f64-dft' replaces the FFT with explicit-matmul DFTs — on TPU this is
+    the mode that removes the hardware FFT's internal rounding (the last
+    ~1.3e-6 term); on CPU it must match the native-f64-FFT ultra result."""
+    d_e, rel = _run(
+        case,
+        EngineConfig.high_accuracy(
+            realspace_precision="f64-all", recip_precision="f64-dft"
+        ),
+    )
+    assert rel < 1e-6, rel
+    assert abs(d_e) < 1e-3, d_e
