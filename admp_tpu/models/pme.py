@@ -203,7 +203,8 @@ def pme_real_uu_energy(
     return jnp.sum(jnp.where(mask, e, 0.0))
 
 
-def make_induced_quadratic_energy(covalent_map, kappa, grid_shape, config):
+def make_induced_quadratic_energy(covalent_map, kappa, grid_shape, config,
+                                  static_box=None):
     """Build E_uu(v): the exactly-u-quadratic part of the polarizable energy.
 
     grad_v E_uu(v) == field(v) - field(0) == A v (the SCF system matrix
@@ -224,6 +225,7 @@ def make_induced_quadratic_energy(covalent_map, kappa, grid_shape, config):
         spread_precision=config.spread_precision,
         recip_precision=config.recip_precision,
         compensated=config.compensated_sums,
+        static_box=static_box,
     )
 
     def energy_uu(positions, box, pairs, u_ind_cart, pol, tholes, p_scales):
@@ -468,6 +470,10 @@ class ADMPPmeForce:
             if config.realspace_precision == "f64"
             else None
         )
+        # fixed-cell fast path: precompute the electro influence grid once
+        # (disables box gradients through the influence term; see
+        # ops/reciprocal.py make_pme_recip)
+        self._static_box = jnp.asarray(box) if config.cache_influence else None
         self.lpol = bool(lpol)
         self.scf_config = config.scf
         self.spread_method = config.spread_method
@@ -496,6 +502,7 @@ class ADMPPmeForce:
             spread_precision=getattr(self, "spread_precision", None),
             recip_precision=cfg.recip_precision,
             compensated=cfg.compensated_sums,
+            static_box=getattr(self, "_static_box", None),
         )
         if self.lpol:
             self._build_polarizable()
@@ -572,7 +579,8 @@ class ADMPPmeForce:
         # solve and of the per-force implicit-adjoint solve uses this instead
         # of a full field build
         energy_uu = make_induced_quadratic_energy(
-            covalent_map, kappa, (self.K1, self.K2, self.K3), config
+            covalent_map, kappa, (self.K1, self.K2, self.K3), config,
+            static_box=getattr(self, "_static_box", None),
         )
         grad_uu = jax.grad(energy_uu, argnums=3)
 

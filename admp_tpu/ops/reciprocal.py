@@ -475,11 +475,19 @@ def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0,
                    spread_method: str = "scatter",
                    spread_precision: str | None = None,
                    recip_precision: str | None = None,
-                   compensated: bool = False):
+                   compensated: bool = False,
+                   static_box=None):
     """Build a reciprocal-space energy function (positions, box, Q) -> energy.
 
     Matches the reference factory generate_pme_recip (admp/recip.py:21) with
     pme_order fixed at 6 (the only order the reference implements).
+
+    ``static_box``: fixed-cell fast path — precompute the influence grid
+    C(k^2)/theta_k^2 (erfc/exp over ~K^3/2 modes) once as a device constant;
+    the per-step convolution reduces to FFT + multiply-and-sum. Box gradients
+    (virial) through the influence term are then NOT tracked; leave None for
+    NPT/virial workloads. (Same contract as the dispersion engine's
+    cache_influence.)
 
     ``recip_precision='f64'``: float64 mesh accumulation, hi/lo split FFT,
     float64 influence convolution (implies the f64 spread-weight pipeline).
@@ -495,6 +503,26 @@ def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0,
         if spread_method == "pallas":
             spread_method = "scatter"  # the slab kernel is f32-only
 
+    cached = None
+    if static_box is not None:
+        box0 = jnp.asarray(static_box)
+        dtype = jnp.float64 if f64_mode else box0.dtype
+        ksq, theta_sq = k_space_grids(
+            box0.astype(dtype), grid_shape, dtype, rfft=True
+        )
+        volume = det3x3(box0.astype(dtype))
+        w3 = _hermitian_weights(grid_shape[2], dtype)
+        nonzero = ksq > 0.0
+        ksq_safe = jnp.where(nonzero, ksq, 1.0)
+        c_k = jnp.where(nonzero, ck_fn(ksq_safe, kappa, volume), 0.0)
+        weight = c_k / theta_sq * w3[None, None, :]
+        gamma0 = (
+            ck_fn.at_zero(kappa, volume) / theta_sq[0, 0, 0]
+            if include_gamma
+            else None
+        )
+        cached = (weight, gamma0)
+
     def pme_recip(positions, box, q_harm):
         atom_chunk = 4096 if positions.shape[0] > 16384 else None
         mesh_dtype = jnp.float64 if f64_mode else None
@@ -502,10 +530,24 @@ def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0,
             positions, box, q_harm, grid_shape, lmax, atom_chunk, spread_method,
             False, spread_precision, mesh_dtype,
         )
-        energy = convolve_energy(
-            mesh, box, kappa, ck_fn, include_gamma, prefactor, compensated,
-            dft=(recip_precision == "f64-dft"),
-        )
+        if cached is not None:
+            weight, gamma0 = cached
+            s_sq = (
+                spectrum_sq_dft(mesh)
+                if recip_precision == "f64-dft"
+                else spectrum_sq(mesh)
+            )
+            energy = _reduce_energy(
+                weight.astype(s_sq.dtype) * s_sq, compensated
+            )
+            if gamma0 is not None:
+                energy = energy + gamma0 * s_sq[0, 0, 0]
+            energy = prefactor * energy
+        else:
+            energy = convolve_energy(
+                mesh, box, kappa, ck_fn, include_gamma, prefactor, compensated,
+                dft=(recip_precision == "f64-dft"),
+            )
         return energy.astype(q_harm.dtype)
 
     return pme_recip

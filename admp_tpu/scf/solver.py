@@ -173,7 +173,7 @@ def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig(),
             precond,
             jnp.zeros_like(g),
             4 * config.max_iter,
-            1e-8 * g_scale,
+            config.adjoint_tol * g_scale,
             jnp.ones_like(site_mask),
         )
         # theta_bar = - (d field / d theta)^T w  evaluated at u*

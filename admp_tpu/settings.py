@@ -64,6 +64,10 @@ class SCFConfig:
     max_iter: int = MAX_N_POL
     field_tol: float = POL_CONV
     pol_eps: float = 0.001  # sites with pol below this do not count for convergence
+    # relative tolerance of the implicit-adjoint PCG solve inside each force
+    # evaluation (residual / max|cotangent|); 1e-8 is f64-grade exactness,
+    # ~3e-7 suffices for an f32 force pipeline and converges in fewer matvecs
+    adjoint_tol: float = 1e-8
 
 
 @dataclasses.dataclass(frozen=True)

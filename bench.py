@@ -55,9 +55,12 @@ def build_pol_workload():
     tholes = jnp.asarray(sysd["tholes"])
     scales = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0])
 
+    from admp_tpu.settings import EngineConfig
+
     pme = ADMPPmeForce(
         box, sysd["axis_types"], sysd["axis_indices"], sysd["covalent_map"],
-        rc, ethresh, lmax=2, lpol=True, scf_config=SCFConfig(),
+        rc, ethresh, lmax=2, lpol=True,
+        config=EngineConfig(cache_influence=True, scf=SCFConfig()),
     )
 
     # converge once cold so the timed loop starts from a realistic MD state
@@ -158,6 +161,7 @@ def build_nonpol_workload():
 
     pme = ADMPPmeForce(
         box_j, axis_types, axis_indices, covalent_map, rc, ethresh, lmax=2,
+        config=EngineConfig(cache_influence=True),
     )
     pme.update_env("kappa", 0.657065221219616)
     disp = ADMPDispPmeForce(
