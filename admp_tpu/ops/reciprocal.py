@@ -290,7 +290,10 @@ def spread_to_mesh_multi(positions, box, coeffs, grid_shape):
     Args:
       coeffs: (N, C) per-atom channel coefficients.
     Returns:
-      (K1, K2, K3, C) meshes.
+      (C, K1, K2, K3) meshes — channel axis LEADING: a trailing channel axis
+      of 3 tile-pads to the 128-lane TPU tile (~40x the memory traffic) and
+      forces the batched FFT through layout transposes; measured 35 -> ~10 ms
+      on the dispersion reciprocal at water_1024 (round 2).
     """
     k1, k2, k3 = grid_shape
     n = positions.shape[0]
@@ -317,17 +320,17 @@ def spread_to_mesh_multi(positions, box, coeffs, grid_shape):
     vals = theta[None, :, :] * coeffs.T[:, :, None]  # (C, N, 216)
     mesh = jnp.zeros((n_ch * kcube,), dtype=theta.dtype)
     mesh = mesh.at[all_idx.reshape(-1)].add(vals.reshape(-1))
-    return jnp.moveaxis(mesh.reshape(n_ch, k1, k2, k3), 0, -1)
+    return mesh.reshape(n_ch, k1, k2, k3)
 
 
 def convolve_energy_multi(meshes, box, kappa, ck_fns, include_gamma, prefactor=1.0):
-    """Influence-function convolution for channel-stacked meshes
-    (one rfft batched over the trailing channel axis)."""
-    grid_shape = meshes.shape[:3]
+    """Influence-function convolution for channel-stacked (C, K1, K2, K3)
+    meshes (one rfft batched over the leading channel axis)."""
+    grid_shape = meshes.shape[1:]
     volume = det3x3(box)
     ksq, theta_sq = k_space_grids(box, grid_shape, meshes.dtype, rfft=True)
-    s_k = jnp.fft.rfftn(meshes, axes=(0, 1, 2))
-    s_sq = jnp.real(s_k * jnp.conj(s_k))  # (K1, K2, K3h, C)
+    s_k = jnp.fft.rfftn(meshes, axes=(1, 2, 3))
+    s_sq = jnp.real(s_k * jnp.conj(s_k))  # (C, K1, K2, K3h)
 
     nonzero = ksq > 0.0
     ksq_safe = jnp.where(nonzero, ksq, 1.0)
@@ -335,10 +338,10 @@ def convolve_energy_multi(meshes, box, kappa, ck_fns, include_gamma, prefactor=1
     energy = 0.0
     for c, ck_fn in enumerate(ck_fns):
         c_k = jnp.where(nonzero, ck_fn(ksq_safe, kappa, volume), 0.0)
-        e_c = jnp.sum((c_k / theta_sq * w3[None, None, :]) * s_sq[..., c])
+        e_c = jnp.sum((c_k / theta_sq * w3[None, None, :]) * s_sq[c])
         if include_gamma:
             c0 = ck_fn.at_zero(kappa, volume)
-            e_c = e_c + c0 * s_sq[0, 0, 0, c] / theta_sq[0, 0, 0]
+            e_c = e_c + c0 * s_sq[c, 0, 0, 0] / theta_sq[0, 0, 0]
         energy = energy + e_c
     return prefactor * energy
 
@@ -380,13 +383,13 @@ def make_disp_pme_recip(ck_fns, kappa, grid_shape, static_box=None):
         )
         if cached is not None:
             weights, gammas = cached
-            s_k = jnp.fft.rfftn(meshes, axes=(0, 1, 2))
-            s_sq = jnp.real(s_k * jnp.conj(s_k))
+            s_k = jnp.fft.rfftn(meshes, axes=(1, 2, 3))
+            s_sq = jnp.real(s_k * jnp.conj(s_k))  # (C, K1, K2, K3h)
             energy = 0.0
             for c in range(len(ck_fns)):
                 energy = energy + jnp.sum(
-                    weights[c].astype(s_sq.dtype) * s_sq[..., c]
-                ) + gammas[c] * s_sq[0, 0, 0, c]
+                    weights[c].astype(s_sq.dtype) * s_sq[c]
+                ) + gammas[c] * s_sq[c, 0, 0, 0]
             return energy
         return convolve_energy_multi(meshes, box, kappa, ck_fns, True)
     # NOTE: dispersion spreading is lmax=0 (theta only), whose intermediates
