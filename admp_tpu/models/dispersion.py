@@ -131,7 +131,9 @@ class ADMPDispPmeForce:
         if pmax_recip >= 10:
             cks.append(ck_10)
         recip_fn = make_disp_pme_recip(
-            cks, self.kappa, grid, static_box=getattr(self, "_static_box", None)
+            cks, self.kappa, grid,
+            static_box=getattr(self, "_static_box", None),
+            spread_order=cfg.disp_spread_order,
         )
         covalent_map = self.covalent_map
         kappa, pmax = self.kappa, self.pmax

@@ -107,3 +107,39 @@ def euler_spline_theta(kpts_int_axis, n_axis):
     b = jnp.asarray(B6_KNOTS, dtype=kpts_int_axis.dtype)
     ang = 2.0 * jnp.pi * kpts_int_axis / n_axis
     return b[2] + 2.0 * b[1] * jnp.cos(ang) + 2.0 * b[0] * jnp.cos(2.0 * ang)
+
+
+# ---------------------------------------------------------------------------
+# Order-4 variant (dispersion spreading option: the r^-6..r^-10 kernels are
+# far smoother than Coulomb, so a 4^3 = 64-point stencil can replace the
+# 216-point one at measured accuracy cost — see EngineConfig.disp_spread_order)
+# ---------------------------------------------------------------------------
+
+_C4 = _piece_coeffs(4)
+
+# B4 at the integer knots 1..3: [1/6, 4/6, 1/6]
+B4_KNOTS = np.array([1.0, 4.0, 1.0]) / 6.0
+
+
+def spline_values4(u0):
+    """(..., 3) -> (..., 4, 3): B4 at the four stencil offsets per dimension.
+
+    ``u0`` are fractional offsets in [2, 3) (order/2 = 2 shifted)."""
+    outs = []
+    table = _C4.astype(np.result_type(u0.dtype))
+    for k in range(4):
+        u = u0 + (k - 2.0)
+        c = table[k]
+        acc = jnp.full_like(u, c[-1])
+        for p in range(len(c) - 2, -1, -1):
+            acc = acc * u + c[p]
+        outs.append(acc)
+    return jnp.stack(outs, axis=-2)
+
+
+def euler_spline_theta4(kpts_int_axis, n_axis):
+    """Per-axis Euler factor for order-4 splines:
+    theta(k) = 4/6 + (2/6) cos(2 pi k / N)."""
+    b = jnp.asarray(B4_KNOTS, dtype=kpts_int_axis.dtype)
+    ang = 2.0 * jnp.pi * kpts_int_axis / n_axis
+    return b[1] + 2.0 * b[0] * jnp.cos(ang)

@@ -290,3 +290,125 @@ def neighbor_list_cell(positions, box, cutoff, capacity=None, cell_capacity=None
     nl.n_cells = n_cells  # type: ignore[attr-defined]
     nl.cell_capacity = cell_capacity  # type: ignore[attr-defined]
     return nl
+
+
+# ---------------------------------------------------------------------------
+# Sharded (slab-decomposed) pair search for device meshes
+# ---------------------------------------------------------------------------
+
+
+def sharded_cell_pairs(positions, box, cutoff, n_cells, cell_capacity,
+                       capacity_per_device, axis_name):
+    """Cell-list pair search decomposed over a mesh axis, for use INSIDE
+    ``jax.shard_map``.
+
+    Each device owns a contiguous slab of cells along the leading cell axis
+    and emits only the pairs whose i-atom lives in its slab — a
+    (capacity_per_device, 2) local block, which concatenated over the axis is
+    exactly the P(axis_name, None)-sharded padded pair list the sharded
+    energies consume (parallel/sharded.py). Positions are replicated (12 MB
+    at 1M atoms — redistribution/halo exchange only pays once positions
+    themselves are sharded, far beyond current scales); the per-device work
+    scales as N/P because candidate generation runs only over the slab's
+    atoms, which are CONTIGUOUS in cell-sorted order (cell ids sort by the
+    leading axis first).
+
+    ``n_cells[0]`` must be divisible by the axis size. Returns
+    (pairs_local, overflow) where overflow is the psum'd global flag.
+    """
+    n = positions.shape[0]
+    ncx, ncy, ncz = n_cells
+    n_dev = jax.lax.axis_size(axis_name)
+    dev = jax.lax.axis_index(axis_name)
+    assert ncx % n_dev == 0, "leading cell axis must divide the mesh axis"
+    slab_cx = ncx // n_dev
+    # generous fixed slab capacity: 2x the mean + slack
+    slab_cap = -(-2 * n // n_dev // 8) * 8 + 64
+
+    box_inv = inv3x3(box)
+    frac = positions @ box_inv
+    frac = frac - jnp.floor(frac)
+    cx = jnp.minimum((frac[:, 0] * ncx).astype(jnp.int32), ncx - 1)
+    cy = jnp.minimum((frac[:, 1] * ncy).astype(jnp.int32), ncy - 1)
+    cz = jnp.minimum((frac[:, 2] * ncz).astype(jnp.int32), ncz - 1)
+    cell_id = (cx * ncy + cy) * ncz + cz
+
+    order = jnp.argsort(cell_id)
+    sorted_cells = cell_id[order]
+    rank = jnp.arange(n) - jnp.searchsorted(sorted_cells, sorted_cells, side="left")
+    n_cell_total = ncx * ncy * ncz
+    buckets = jnp.full((n_cell_total, cell_capacity), n, dtype=jnp.int32)
+    in_range = rank < cell_capacity
+    buckets = buckets.at[
+        sorted_cells, jnp.minimum(rank, cell_capacity - 1)
+    ].set(jnp.where(in_range, order.astype(jnp.int32), n))
+    cell_counts = jnp.zeros(n_cell_total, jnp.int32).at[cell_id].add(1)
+    bucket_overflow = jnp.any(cell_counts > cell_capacity)
+
+    # this device's i-atoms: contiguous block of the cell-sorted order
+    slab_start = jnp.searchsorted(
+        sorted_cells, dev * slab_cx * ncy * ncz, side="left"
+    )
+    slab_ids_raw = jax.lax.dynamic_slice_in_dim(
+        jnp.concatenate([order.astype(jnp.int32),
+                         jnp.full((slab_cap,), n, jnp.int32)]),
+        slab_start, slab_cap,
+    )
+    in_slab = (cx[jnp.minimum(slab_ids_raw, n - 1)] // slab_cx) == dev
+    i_atoms = jnp.where((slab_ids_raw < n) & in_slab, slab_ids_raw, n)
+    slab_overflow = (
+        jnp.sum((cx // slab_cx) == dev) > slab_cap
+    )
+
+    # half-stencil candidates for the slab atoms only
+    stencil = jnp.asarray(_HALF_STENCIL)
+    i_safe = jnp.minimum(i_atoms, n - 1)
+    my_cell = jnp.stack([cx[i_safe], cy[i_safe], cz[i_safe]], axis=-1)
+    neigh = my_cell[:, None, :] + stencil[None, :, :]
+    neigh_id = (
+        jnp.mod(neigh[..., 0], ncx) * ncy + jnp.mod(neigh[..., 1], ncy)
+    ) * ncz + jnp.mod(neigh[..., 2], ncz)
+    cand = buckets[neigh_id].reshape(slab_cap, -1)
+
+    pos_pad = jnp.concatenate([positions, jnp.zeros((1, 3), positions.dtype)])
+    px, py, pz = pos_pad[:, 0], pos_pad[:, 1], pos_pad[:, 2]
+    ix = jnp.where(i_atoms < n, px[i_safe], jnp.inf)
+    dx = px[cand] - ix[:, None]
+    dy = py[cand] - py[i_safe][:, None]
+    dz = pz[cand] - pz[i_safe][:, None]
+    s1 = dx * box_inv[0, 0] + dy * box_inv[1, 0] + dz * box_inv[2, 0]
+    s2 = dx * box_inv[0, 1] + dy * box_inv[1, 1] + dz * box_inv[2, 1]
+    s3 = dx * box_inv[0, 2] + dy * box_inv[1, 2] + dz * box_inv[2, 2]
+    s1 = s1 - jnp.floor(s1 + 0.5)
+    s2 = s2 - jnp.floor(s2 + 0.5)
+    s3 = s3 - jnp.floor(s3 + 0.5)
+    wx = s1 * box[0, 0] + s2 * box[1, 0] + s3 * box[2, 0]
+    wy = s1 * box[0, 1] + s2 * box[1, 1] + s3 * box[2, 1]
+    wz = s1 * box[0, 2] + s2 * box[1, 2] + s3 * box[2, 2]
+    r2 = jnp.where(jnp.isfinite(wx), wx * wx + wy * wy + wz * wz, jnp.inf)
+    i_ids = jnp.broadcast_to(i_atoms[:, None], cand.shape)
+    in_self = jnp.zeros((1, stencil.shape[0]), bool).at[0, 0].set(True)
+    in_self = jnp.broadcast_to(
+        in_self[:, :, None], (1, stencil.shape[0], cell_capacity)
+    ).reshape(1, -1)
+    dedupe = jnp.where(in_self, cand > i_ids, cand != i_ids)
+    good = dedupe & (cand < n) & (i_ids < n) & (r2 < cutoff * cutoff)
+
+    flat_good = good.ravel()
+    n_found = jnp.sum(flat_good)
+    sel = jnp.nonzero(
+        flat_good, size=capacity_per_device, fill_value=flat_good.shape[0]
+    )[0]
+    valid = sel < flat_good.shape[0]
+    sel_c = jnp.minimum(sel, flat_good.shape[0] - 1)
+    ii_raw = i_ids.ravel()[sel_c]
+    jj_raw = cand.ravel()[sel_c]
+    ii = jnp.where(valid, jnp.minimum(ii_raw, jj_raw), n).astype(jnp.int32)
+    jj = jnp.where(valid, jnp.maximum(ii_raw, jj_raw), n).astype(jnp.int32)
+    pairs = jnp.stack([ii, jj], axis=-1)
+    overflow = jax.lax.psum(
+        ((n_found > capacity_per_device) | bucket_overflow | slab_overflow)
+        .astype(jnp.int32),
+        axis_name,
+    ) > 0
+    return pairs, overflow

@@ -104,13 +104,13 @@ def _reduce_energy(terms, compensated: bool):
     return jnp.sum(terms)
 
 
-def mesh_coordinates(positions, box, grid_shape):
+def mesh_coordinates(positions, box, grid_shape, order: int = bsplines.ORDER):
     """Map positions to mesh space.
 
     Returns:
       m_u0: (N, 3) int32 index of the reference mesh point (ceil of the scaled
         fractional coordinate, reference: admp/recip.py:76).
-      u0: (N, 3) fractional offsets in [3, 4) (order/2 shifted).
+      u0: (N, 3) fractional offsets in [order/2, order/2 + 1).
       dug_dx: (3, 3) Jacobian d(u)/d(x) (u_j rows, x_c cols): N_j * invbox[c, j].
     """
     n = jnp.asarray(grid_shape, dtype=positions.dtype)
@@ -118,7 +118,7 @@ def mesh_coordinates(positions, box, grid_shape):
     # u-grid coordinate i of atom a: N_i * (x @ box_inv)_i
     r_in_m = (positions @ box_inv) * n
     m_u0 = jnp.ceil(r_in_m).astype(jnp.int32)
-    u0 = (m_u0 - r_in_m) + bsplines.ORDER / 2
+    u0 = (m_u0 - r_in_m) + order / 2
     dug_dx = (box_inv * n[None, :]).T  # [j, c] = N_j invbox[c, j]
     return m_u0, u0, dug_dx
 
@@ -279,7 +279,7 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
     return mesh.at[flat].add(q_points.reshape(-1)).reshape(k1, k2, k3)
 
 
-def spread_to_mesh_multi(positions, box, coeffs, grid_shape):
+def spread_to_mesh_multi(positions, box, coeffs, grid_shape, order: int = 6):
     """Spread C independent scalar (lmax=0) channels in one pass.
 
     The dispersion PME needs three charge grids (C6, C8, C10 coefficients,
@@ -297,22 +297,25 @@ def spread_to_mesh_multi(positions, box, coeffs, grid_shape):
     """
     k1, k2, k3 = grid_shape
     n = positions.shape[0]
-    m_u0, u0, _ = mesh_coordinates(positions, box, grid_shape)
-    m = bsplines.spline_values(u0)  # (N, 6, 3)
-    # flat (N, 216) stencil weights: small trailing dims like (6, 6, 6, C)
+    m_u0, u0, _ = mesh_coordinates(positions, box, grid_shape, order)
+    if order == 4:
+        m = bsplines.spline_values4(u0)  # (N, 4, 3)
+    else:
+        m = bsplines.spline_values(u0)  # (N, 6, 3)
+    # flat (N, order^3) stencil weights: small trailing dims like (6, 6, 6, C)
     # tile-pad ~20x on TPU (sublane 8 x lane 128), so keep the last dimension
     # wide at every materialization point
-    txy = (m[:, :, None, 0] * m[:, None, :, 1]).reshape(n, 36)
-    theta = (txy[:, :, None] * m[:, None, :, 2]).reshape(n, 216)
+    txy = (m[:, :, None, 0] * m[:, None, :, 1]).reshape(n, order * order)
+    theta = (txy[:, :, None] * m[:, None, :, 2]).reshape(n, order ** 3)
 
-    offsets = jnp.arange(-3, 3)
+    offsets = jnp.arange(-(order // 2), order // 2)
     idx1 = jnp.mod(m_u0[:, 0:1] + offsets[None, :], k1)
     idx2 = jnp.mod(m_u0[:, 1:2] + offsets[None, :], k2)
     idx3 = jnp.mod(m_u0[:, 2:3] + offsets[None, :], k3)
     flat = (
         (idx1[:, :, None, None] * k2 + idx2[:, None, :, None]) * k3
         + idx3[:, None, None, :]
-    ).reshape(n, 216)
+    ).reshape(n, order ** 3)
     n_ch = coeffs.shape[-1]
     # one flat 1D scatter over all channels: channel c lives at offset c*K^3
     kcube = k1 * k2 * k3
@@ -323,12 +326,14 @@ def spread_to_mesh_multi(positions, box, coeffs, grid_shape):
     return mesh.reshape(n_ch, k1, k2, k3)
 
 
-def convolve_energy_multi(meshes, box, kappa, ck_fns, include_gamma, prefactor=1.0):
+def convolve_energy_multi(meshes, box, kappa, ck_fns, include_gamma, prefactor=1.0,
+                          order: int = 6):
     """Influence-function convolution for channel-stacked (C, K1, K2, K3)
     meshes (one rfft batched over the leading channel axis)."""
     grid_shape = meshes.shape[1:]
     volume = det3x3(box)
-    ksq, theta_sq = k_space_grids(box, grid_shape, meshes.dtype, rfft=True)
+    ksq, theta_sq = k_space_grids(box, grid_shape, meshes.dtype, rfft=True,
+                                  order=order)
     s_k = jnp.fft.rfftn(meshes, axes=(1, 2, 3))
     s_sq = jnp.real(s_k * jnp.conj(s_k))  # (C, K1, K2, K3h)
 
@@ -346,7 +351,8 @@ def convolve_energy_multi(meshes, box, kappa, ck_fns, include_gamma, prefactor=1
     return prefactor * energy
 
 
-def make_disp_pme_recip(ck_fns, kappa, grid_shape, static_box=None):
+def make_disp_pme_recip(ck_fns, kappa, grid_shape, static_box=None,
+                        spread_order: int = 6):
     """Multi-channel dispersion reciprocal engine: one spread, one batched FFT
     for all C6/C8/C10 grids (3x fewer scatter and FFT passes than the
     per-channel pipeline the reference uses, admp/disp_pme.py:61-77).
@@ -364,7 +370,8 @@ def make_disp_pme_recip(ck_fns, kappa, grid_shape, static_box=None):
     if static_box is not None:
         box0 = jnp.asarray(static_box)
         dtype = jnp.zeros(0).dtype
-        ksq, theta_sq = k_space_grids(box0, grid_shape, dtype, rfft=True)
+        ksq, theta_sq = k_space_grids(box0, grid_shape, dtype, rfft=True,
+                                      order=spread_order)
         volume = det3x3(box0)
         w3 = _hermitian_weights(grid_shape[2], dtype)
         nonzero = ksq > 0.0
@@ -379,7 +386,7 @@ def make_disp_pme_recip(ck_fns, kappa, grid_shape, static_box=None):
 
     def disp_recip(positions, box, c_list):
         meshes = spread_to_mesh_multi(
-            positions, box, c_list[:, : len(ck_fns)], grid_shape
+            positions, box, c_list[:, : len(ck_fns)], grid_shape, spread_order
         )
         if cached is not None:
             weights, gammas = cached
@@ -391,7 +398,8 @@ def make_disp_pme_recip(ck_fns, kappa, grid_shape, static_box=None):
                     weights[c].astype(s_sq.dtype) * s_sq[c]
                 ) + gammas[c] * s_sq[c, 0, 0, 0]
             return energy
-        return convolve_energy_multi(meshes, box, kappa, ck_fns, True)
+        return convolve_energy_multi(meshes, box, kappa, ck_fns, True,
+                                     order=spread_order)
     # NOTE: dispersion spreading is lmax=0 (theta only), whose intermediates
     # are (N, 216)-shaped after the outer product — no chunking needed at 100k
 
@@ -405,11 +413,13 @@ def _fft_int_freqs(n: int):
     )
 
 
-def k_space_grids(box, grid_shape, dtype, rfft=False):
+def k_space_grids(box, grid_shape, dtype, rfft=False, order: int = 6):
     """Return (ksq, theta_k_sq) broadcast grids.
 
     With ``rfft=True`` the last axis covers only the non-negative frequencies
-    (length K3//2 + 1), matching ``jnp.fft.rfftn`` output.
+    (length K3//2 + 1), matching ``jnp.fft.rfftn`` output. ``order`` selects
+    the B-spline Euler deconvolution factor (6 default; 4 for the dispersion
+    spread option).
     """
     k1, k2, k3 = grid_shape
     box_inv = inv3x3(box).astype(dtype)
@@ -427,9 +437,13 @@ def k_space_grids(box, grid_shape, dtype, rfft=False):
     ) * (2.0 * jnp.pi)
     ksq = jnp.sum(kvec * kvec, axis=-1)
 
-    t1 = bsplines.euler_spline_theta(f1, k1)
-    t2 = bsplines.euler_spline_theta(f2, k2)
-    t3 = bsplines.euler_spline_theta(f3, k3)
+    euler = (
+        bsplines.euler_spline_theta4 if order == 4
+        else bsplines.euler_spline_theta
+    )
+    t1 = euler(f1, k1)
+    t2 = euler(f2, k2)
+    t3 = euler(f3, k3)
     theta_k = t1[:, None, None] * t2[None, :, None] * t3[None, None, :]
     return ksq, theta_k * theta_k
 
