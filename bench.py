@@ -153,10 +153,13 @@ def build_nonpol_workload():
     m_scales = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0])
 
     # reference-parity electrostatics (K from the OpenMM heuristic, kappa
-    # pinned to the MPID value); dispersion grids at disp_ethresh=5e-4 —
-    # measured vs the parity grids (examples/disp_tuning_tpu.out): K 154^3 ->
-    # 101^3, dE -0.52 kJ/mol of 70104 (7e-6 relative), force RMSE 1.3e-7,
-    # full-FF step 63.0 -> 53.8 ms; fixed-cell influence caching on
+    # pinned to the MPID value). Dispersion at the measured accuracy/cost
+    # sweet spot (ROADMAP round 2, examples/disp_tuning_tpu.out): order-4
+    # spreading + disp_ethresh=2e-4 (K=129^3) holds the energy delta at
+    # 1.1e-4 relative (the nominal ethresh accuracy class) with force RMSE
+    # 3.5e-6, and cuts the full step 63.0 -> ~37 ms (order-6 parity grids:
+    # 53.9 ms; order-4 at K=101: 31.7 ms at 2.6e-4). Fixed-cell influence
+    # caching on.
     from admp_tpu.settings import EngineConfig
 
     pme = ADMPPmeForce(
@@ -166,7 +169,8 @@ def build_nonpol_workload():
     pme.update_env("kappa", 0.657065221219616)
     disp = ADMPDispPmeForce(
         box_j, covalent_map, rc, ethresh, pmax=10,
-        config=EngineConfig(disp_ethresh=5e-4, cache_influence=True),
+        config=EngineConfig(disp_ethresh=2e-4, disp_spread_order=4,
+                            cache_influence=True),
     )
     disp.kappa = 0.657065221219616
     disp.refresh_calculators()
