@@ -593,6 +593,14 @@ class ADMPPmeForce:
         solver = make_induced_dipole_solver(field_fn, self.scf_config,
                                             matvec_fn=matvec_fn)
 
+        # NOTE (measured negative result, round 2): computing the solution
+        # energy via the quadratic identity E(u*) = E0 + field0.u* + u*.Au*/2
+        # (one linearized eval at u=0 + one cheap matvec, exact regardless of
+        # PCG convergence) is numerically exact but SLOWER end-to-end —
+        # 46 -> 64 ms/step on the polarizable benchmark: the outer position
+        # gradient must differentiate through the inner value_and_grad
+        # (forward-over-reverse second-order pass for d(field0.u*)/dtheta),
+        # which costs more than the plain energy evaluation it replaces.
         def energy_and_aux(positions, box, pairs, Q_local, pol, tholes,
                            mScales, pScales, dScales, U_init):
             inputs = dict(
