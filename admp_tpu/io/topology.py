@@ -34,6 +34,9 @@ class System:
     pol: np.ndarray              # (N,) isotropic polarizability, A^3
     tholes: np.ndarray           # (N,) Thole widths
     bonds: list                  # [(i, j)] global serial pairs
+    charges: np.ndarray | None = None  # (N,) per-line PDB charge column
+    # (carried through like the reference's pdbinfo['charges'],
+    # admp/parser.py:168; the physics uses XML multipoles, not these)
 
     @property
     def n_atoms(self) -> int:
@@ -162,6 +165,9 @@ def assemble_system(pdb_data, atom_templates, residue_templates,
         pol=pol,
         tholes=tholes,
         bonds=bonds,
+        charges=np.asarray(
+            [float(c) if c else 0.0 for c in pdb_data.charges], dtype=float
+        ),
     )
 
 

@@ -144,5 +144,21 @@ class ADMPDispPmeForce:
                 kappa, pmax, recip_fn,
             )
 
+        def get_metrics(positions, box, pairs, c_list, mScales):
+            """Structured per-term energies (SURVEY §5 observability)."""
+            e_real = disp_pme_real_energy(
+                positions, box, pairs, c_list, mScales, covalent_map,
+                kappa, pmax,
+            )
+            e_recip = recip_fn(positions, box, c_list)
+            e_self = dispersion_self_energy(c_list, kappa, pmax)
+            return {
+                "e_disp_real": e_real,
+                "e_disp_recip": e_recip,
+                "e_disp_self": e_self,
+                "e_disp_total": e_real + e_recip + e_self,
+            }
+
+        self.get_metrics = maybe_jit(get_metrics)
         self.get_energy = maybe_jit(get_energy)
         self.get_forces = maybe_jit(jax.value_and_grad(get_energy))
