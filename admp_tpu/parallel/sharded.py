@@ -37,10 +37,38 @@ from admp_tpu.ops.reciprocal import (
     _fft_int_freqs,
     _hermitian_weights,
     spread_to_mesh,
+    spread_to_mesh_multi,
 )
 from admp_tpu.ops.selfenergy import pme_self_energy
 from admp_tpu.parallel.fft import rfft3d_pencil
 from admp_tpu.utils.constants import DIELECTRIC
+
+
+def _pencil_kspace(box, grid_shape, dtype, dev, n_dev, order: int = 6):
+    """(k^2, theta^2) grids for this device's *transposed* half-spectrum
+    pencil (K1, K2/P, K3//2+1) — the layout :func:`rfft3d_pencil` returns."""
+    k1, k2, k3 = grid_shape
+    box_inv = inv3x3(box).astype(dtype)
+    f1 = _fft_int_freqs(k1).astype(dtype)
+    k2_local = k2 // n_dev
+    f2 = _fft_int_freqs(k2).astype(dtype)
+    f2 = jax.lax.dynamic_slice_in_dim(f2, dev * k2_local, k2_local)
+    f3 = jnp.arange(k3 // 2 + 1, dtype=dtype)
+    kvec = (
+        f1[:, None, None, None] * box_inv[0][None, None, None, :]
+        + f2[None, :, None, None] * box_inv[1][None, None, None, :]
+        + f3[None, None, :, None] * box_inv[2][None, None, None, :]
+    ) * (2.0 * jnp.pi)
+    ksq = jnp.sum(kvec * kvec, axis=-1)
+    theta_fn = (
+        bsplines.euler_spline_theta if order == 6
+        else bsplines.euler_spline_theta4
+    )
+    t1 = theta_fn(f1, k1)
+    t2 = theta_fn(f2, k2)
+    t3 = theta_fn(f3, k3)
+    theta_sq = (t1[:, None, None] * t2[None, :, None] * t3[None, None, :]) ** 2
+    return ksq, theta_sq
 
 
 def _sharded_recip_energy(positions, box, q_tot, grid_shape, kappa, lmax,
@@ -65,24 +93,8 @@ def _sharded_recip_energy(positions, box, q_tot, grid_shape, kappa, lmax,
     # transposed half-spectrum pencils (K1, K2/P, K3//2+1)
     s_k = rfft3d_pencil(slab, axis_name)
 
-    # k-space grids for the local transposed slab
     dtype = slab.dtype
-    box_inv = inv3x3(box).astype(dtype)
-    f1 = _fft_int_freqs(k1).astype(dtype)
-    k2_local = k2 // n_dev
-    f2 = _fft_int_freqs(k2).astype(dtype)
-    f2 = jax.lax.dynamic_slice_in_dim(f2, dev * k2_local, k2_local)
-    f3 = jnp.arange(k3 // 2 + 1, dtype=dtype)
-    kvec = (
-        f1[:, None, None, None] * box_inv[0][None, None, None, :]
-        + f2[None, :, None, None] * box_inv[1][None, None, None, :]
-        + f3[None, None, :, None] * box_inv[2][None, None, None, :]
-    ) * (2.0 * jnp.pi)
-    ksq = jnp.sum(kvec * kvec, axis=-1)
-    t1 = bsplines.euler_spline_theta(f1, k1)
-    t2 = bsplines.euler_spline_theta(f2, k2)
-    t3 = bsplines.euler_spline_theta(f3, k3)
-    theta_sq = (t1[:, None, None] * t2[None, :, None] * t3[None, None, :]) ** 2
+    ksq, theta_sq = _pencil_kspace(box, grid_shape, dtype, dev, n_dev)
 
     volume = det3x3(box)
     s_sq = jnp.real(s_k * jnp.conj(s_k))
@@ -97,6 +109,45 @@ def _sharded_recip_energy(positions, box, q_tot, grid_shape, kappa, lmax,
         c0 = ck_fn.at_zero(kappa, volume)
         energy = energy + gamma_here * c0 * s_sq[0, 0, 0] / theta_sq[0, 0, 0]
     return prefactor * jax.lax.psum(energy, axis_name)
+
+
+def _sharded_disp_recip_energy(positions, box, c_list, grid_shape, kappa,
+                               ck_fns, axis_name, n_dev, order: int = 6):
+    """Multi-channel (C6/C8/C10) dispersion reciprocal energy, atom-sharded
+    spreading + pencil FFT per channel, gamma point included
+    (single-device counterpart: ops/reciprocal.make_disp_pme_recip)."""
+    n = positions.shape[0]
+    k1, k2, k3 = grid_shape
+    n_local = n // n_dev
+    dev = jax.lax.axis_index(axis_name)
+
+    pos_loc = jax.lax.dynamic_slice_in_dim(positions, dev * n_local, n_local)
+    c_loc = jax.lax.dynamic_slice_in_dim(
+        c_list[:, : len(ck_fns)], dev * n_local, n_local
+    )
+    meshes = spread_to_mesh_multi(pos_loc, box, c_loc, grid_shape, order)
+    slabs = jax.lax.psum_scatter(
+        meshes, axis_name, scatter_dimension=1, tiled=True
+    )  # (C, K1/P, K2, K3)
+
+    dtype = slabs.dtype
+    ksq, theta_sq = _pencil_kspace(box, grid_shape, dtype, dev, n_dev, order)
+    volume = det3x3(box)
+    nonzero = ksq > 0.0
+    ksq_safe = jnp.where(nonzero, ksq, 1.0)
+    w3 = _hermitian_weights(k3, dtype)
+    gamma_here = (dev == 0).astype(dtype)
+
+    energy = jnp.zeros((), dtype)
+    for c, ck_fn in enumerate(ck_fns):
+        s_k = rfft3d_pencil(slabs[c], axis_name)
+        s_sq = jnp.real(s_k * jnp.conj(s_k))
+        c_k = jnp.where(nonzero, ck_fn(ksq_safe, kappa, volume), 0.0)
+        e_c = jnp.sum((c_k / theta_sq * w3[None, None, :]) * s_sq)
+        c0 = ck_fn.at_zero(kappa, volume)
+        e_c = e_c + gamma_here * c0 * s_sq[0, 0, 0] / theta_sq[0, 0, 0]
+        energy = energy + e_c
+    return jax.lax.psum(energy, axis_name)
 
 
 def _make_local_energy(axis_name, n_dev, grid_shape, kappa, lmax,
@@ -248,6 +299,176 @@ def make_sharded_pol_energy(
         return energy, (u_star, converged, n_iter)
 
     return energy_and_aux
+
+
+def make_sharded_disp_energy(
+    mesh: Mesh,
+    axis_name: str,
+    *,
+    grid_shape,
+    kappa,
+    pmax: int,
+    covalent_map,
+    spread_order: int = 6,
+):
+    """Sharded dispersion PME (C6/C8/C10): pair-sharded real space,
+    atom-sharded multi-channel spreading, pencil FFT per channel, replicated
+    self term. Single-device counterpart: models/dispersion.ADMPDispPmeForce.
+
+    Returns ``energy_fn(positions, box, pairs, c_list, m_scales) -> scalar``
+    (same surface as ``ADMPDispPmeForce.get_energy``); ``pairs`` is consumed
+    sharded along its leading axis. Requires n_atoms, pair capacity, K1 and K2
+    divisible by the mesh axis size.
+    """
+    from admp_tpu.models.dispersion import disp_pme_real_energy
+    from admp_tpu.ops.exclusions import SparseExclusions
+    from admp_tpu.ops.influence import ck_6, ck_8, ck_10
+    from admp_tpu.ops.selfenergy import dispersion_self_energy
+
+    if not isinstance(covalent_map, SparseExclusions):
+        covalent_map = jnp.asarray(covalent_map)
+    grid_shape = tuple(int(k) for k in grid_shape)
+    n_dev = mesh.shape[axis_name]
+    ck_fns = tuple(
+        fn for fn, p in ((ck_6, 6), (ck_8, 8), (ck_10, 10)) if pmax >= p
+    )
+
+    def _local(positions, box, pairs_local, c_list, m_scales):
+        e_real = disp_pme_real_energy(
+            positions, box, pairs_local, c_list, m_scales, covalent_map,
+            kappa, pmax,
+        )
+        e_real = jax.lax.psum(e_real, axis_name)
+        e_recip = _sharded_disp_recip_energy(
+            positions, box, c_list, grid_shape, kappa, ck_fns,
+            axis_name, n_dev, spread_order,
+        )
+        e_self = dispersion_self_energy(c_list, kappa, pmax)
+        return e_real + e_recip + e_self
+
+    return jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name, None), P(), P()),
+        out_specs=P(),
+    )
+
+
+def make_sharded_pairwise_energy(mesh: Mesh, axis_name: str, kernel,
+                                 covalent_map):
+    """Pair-sharded generic short-range interaction — the scale-out analog of
+    ops/shortrange.generate_pairwise_interaction (identical call surface:
+    ``fn(positions, box, pairs, m_scales, *atomic_params)``; ``pairs`` sharded
+    along its leading axis, per-atom parameter arrays replicated)."""
+    from admp_tpu.ops.exclusions import SparseExclusions
+    from admp_tpu.ops.shortrange import expand_pairs
+
+    if not isinstance(covalent_map, SparseExclusions):
+        covalent_map = jnp.asarray(covalent_map)
+
+    def _local(positions, box, pairs_local, m_scales, *atomic_params):
+        mask, i, j, r, mscale = expand_pairs(
+            positions, box, pairs_local, covalent_map, m_scales
+        )
+        gathered = []
+        for param in atomic_params:
+            gathered.append(param[i])
+            gathered.append(param[j])
+        energies = kernel(r, mscale, *gathered)
+        e = jnp.sum(jnp.where(mask, energies, 0.0))
+        return jax.lax.psum(e, axis_name)
+
+    def energy_fn(positions, box, pairs, m_scales, *atomic_params):
+        n_param = len(atomic_params)
+        fn = jax.shard_map(
+            _local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis_name, None), P()) + (P(),) * n_param,
+            out_specs=P(),
+        )
+        return fn(positions, box, pairs, m_scales, *atomic_params)
+
+    return energy_fn
+
+
+def make_sharded_ff_energy(
+    mesh: Mesh,
+    axis_name: str,
+    *,
+    grid_shape,
+    kappa,
+    lmax: int,
+    axis_types,
+    axis_indices,
+    covalent_map,
+    disp_grid_shape,
+    disp_kappa,
+    pmax: int = 10,
+    disp_spread_order: int = 6,
+    lpol: bool = False,
+    scf_config=None,
+):
+    """The full MPID water force field, sharded: multipolar PME
+    (optionally polarizable) + Tang-Toennies short range − dispersion PME,
+    with the front-end's sign convention (api.py ADMPDispGenerator:
+    ``e_sr - e_lr``) so a multi-chip step computes exactly what the
+    single-device ``Hamiltonian`` potentials sum to.
+
+    Nonpolarizable:
+      ``fn(positions, box, pairs, q_local, m_scales, c_list, tt_a, tt_b,
+      tt_q) -> energy``
+    Polarizable (``lpol=True``):
+      ``fn(positions, box, pairs, q_local, pol, tholes, m_scales, p_scales,
+      c_list, tt_a, tt_b, tt_q, u_init) -> (energy, (u_star, converged,
+      n_iter))``
+
+    One pair list serves all terms (they share the real-space cutoff, as in
+    the reference's examples). Requires n_atoms, pair capacity, and the K1/K2
+    of both grids divisible by the mesh axis size.
+    """
+    from admp_tpu.ops.shortrange import tt_damping_qq_c6_kernel
+
+    disp_fn = make_sharded_disp_energy(
+        mesh, axis_name, grid_shape=disp_grid_shape, kappa=disp_kappa,
+        pmax=pmax, covalent_map=covalent_map, spread_order=disp_spread_order,
+    )
+    tt_fn = make_sharded_pairwise_energy(
+        mesh, axis_name, tt_damping_qq_c6_kernel, covalent_map
+    )
+
+    if not lpol:
+        elec_fn = make_sharded_pme_energy(
+            mesh, axis_name, grid_shape=grid_shape, kappa=kappa, lmax=lmax,
+            axis_types=axis_types, axis_indices=axis_indices,
+            covalent_map=covalent_map,
+        )
+
+        def ff_energy(positions, box, pairs, q_local, m_scales, c_list,
+                      tt_a, tt_b, tt_q):
+            e = elec_fn(positions, box, pairs, q_local, m_scales)
+            e = e + tt_fn(positions, box, pairs, m_scales,
+                          tt_a, tt_b, tt_q, c_list[:, 0])
+            return e - disp_fn(positions, box, pairs, c_list, m_scales)
+
+        return ff_energy
+
+    pol_fn = make_sharded_pol_energy(
+        mesh, axis_name, grid_shape=grid_shape, kappa=kappa, lmax=lmax,
+        axis_types=axis_types, axis_indices=axis_indices,
+        covalent_map=covalent_map, scf_config=scf_config,
+    )
+
+    def ff_energy_pol(positions, box, pairs, q_local, pol, tholes,
+                      m_scales, p_scales, c_list, tt_a, tt_b, tt_q, u_init):
+        e_elec, aux = pol_fn(
+            positions, box, pairs, q_local, pol, tholes,
+            m_scales, p_scales, u_init,
+        )
+        e = e_elec + tt_fn(positions, box, pairs, m_scales,
+                           tt_a, tt_b, tt_q, c_list[:, 0])
+        return e - disp_fn(positions, box, pairs, c_list, m_scales), aux
+
+    return ff_energy_pol
 
 
 def make_sharded_batch_energy(mesh: Mesh, data_axis: str, model_axis: str, **kw):

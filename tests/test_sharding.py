@@ -238,6 +238,148 @@ def test_sharded_polarizable_sparse_exclusions(mesh8, sys64):
     np.testing.assert_allclose(float(e_sparse), float(e_dense), rtol=1e-12)
 
 
+def test_sharded_full_ff_matches_single_device(mesh8, sys64):
+    """Sharded full force field (multipolar PME + TT short range − dispersion
+    PME) == the single-device composition the front-end builds (api.py sign
+    convention), energies and forces, on the 8-device mesh."""
+    from admp_tpu import (
+        ADMPDispPmeForce,
+        generate_pairwise_interaction,
+        tt_damping_qq_c6_kernel,
+    )
+    from admp_tpu.parallel import make_sharded_ff_energy
+
+    sysd = sys64
+    n = sysd["positions"].shape[0]
+    q_local = convert_cart2harm(jnp.asarray(sysd["q_cart"]), 2)
+    pairs = _padded_pairs(n, 8)
+    positions = jnp.asarray(sysd["positions"])
+    box = jnp.asarray(sysd["box"])
+    c_list = jnp.asarray(sysd["c_list"])
+    tt_a = jnp.asarray(sysd["tt_a"])
+    tt_b = jnp.asarray(sysd["tt_b"])
+    tt_q = jnp.asarray(sysd["tt_q"])
+    disp_kappa = 0.7
+
+    ff = make_sharded_ff_energy(
+        mesh8, "model",
+        grid_shape=GRID, kappa=KAPPA, lmax=2,
+        axis_types=sysd["axis_types"], axis_indices=sysd["axis_indices"],
+        covalent_map=sysd["covalent_map"],
+        disp_grid_shape=GRID, disp_kappa=disp_kappa, pmax=10,
+    )
+    e_sharded, f_sharded = jax.jit(jax.value_and_grad(ff))(
+        positions, box, pairs, q_local, M_SCALES, c_list, tt_a, tt_b, tt_q
+    )
+
+    pme = ADMPPmeForce(
+        box, sysd["axis_types"], sysd["axis_indices"], sysd["covalent_map"],
+        4.0, 1e-3, 2,
+    )
+    pme.kappa = KAPPA
+    pme.K1, pme.K2, pme.K3 = GRID
+    pme.refresh_calculators()
+    disp = ADMPDispPmeForce(box, sysd["covalent_map"], 4.0, 1e-3, 10)
+    disp.kappa = disp_kappa
+    disp.K1, disp.K2, disp.K3 = GRID
+    disp.refresh_calculators()
+    tt = generate_pairwise_interaction(
+        tt_damping_qq_c6_kernel, sysd["covalent_map"]
+    )
+
+    def single(pos):
+        e = pme.get_energy(pos, box, pairs, q_local, M_SCALES)
+        e = e + tt(pos, box, pairs, M_SCALES, tt_a, tt_b, tt_q, c_list[:, 0])
+        return e - disp.get_energy(pos, box, pairs, c_list, M_SCALES)
+
+    e_single, f_single = jax.jit(jax.value_and_grad(single))(positions)
+    np.testing.assert_allclose(float(e_sharded), float(e_single), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(f_sharded), np.asarray(f_single), atol=1e-9
+    )
+
+
+def test_sharded_full_ff_polarizable(mesh8, sys64):
+    """Polarizable variant of the sharded full force field: energy, induced
+    dipoles, and forces match the single-device composition."""
+    from admp_tpu import (
+        ADMPDispPmeForce,
+        ADMPPmeForce,
+        SCFConfig,
+        generate_pairwise_interaction,
+        tt_damping_qq_c6_kernel,
+    )
+    from admp_tpu.parallel import make_sharded_ff_energy
+
+    sysd = sys64
+    n = sysd["positions"].shape[0]
+    q_local = convert_cart2harm(jnp.asarray(sysd["q_cart"]), 2)
+    pairs = _padded_pairs(n, 8)
+    positions = jnp.asarray(sysd["positions"])
+    box = jnp.asarray(sysd["box"])
+    pol = jnp.asarray(sysd["pol"])
+    tholes = jnp.asarray(sysd["tholes"])
+    c_list = jnp.asarray(sysd["c_list"])
+    tt_a = jnp.asarray(sysd["tt_a"])
+    tt_b = jnp.asarray(sysd["tt_b"])
+    tt_q = jnp.asarray(sysd["tt_q"])
+    u0 = jnp.zeros((n, 3))
+    scf = SCFConfig(max_iter=40, field_tol=1e-3)
+    disp_kappa = 0.7
+
+    ff = make_sharded_ff_energy(
+        mesh8, "model",
+        grid_shape=GRID, kappa=KAPPA, lmax=2,
+        axis_types=sysd["axis_types"], axis_indices=sysd["axis_indices"],
+        covalent_map=sysd["covalent_map"],
+        disp_grid_shape=GRID, disp_kappa=disp_kappa, pmax=10,
+        lpol=True, scf_config=scf,
+    )
+    vga = jax.jit(jax.value_and_grad(ff, has_aux=True))
+    (e_sharded, (u_sharded, conv, _)), f_sharded = vga(
+        positions, box, pairs, q_local, pol, tholes, M_SCALES, M_SCALES,
+        c_list, tt_a, tt_b, tt_q, u0,
+    )
+    assert bool(conv)
+
+    pme = ADMPPmeForce(
+        box, sysd["axis_types"], sysd["axis_indices"], sysd["covalent_map"],
+        4.0, 1e-3, 2, lpol=True, scf_config=scf,
+    )
+    pme.kappa = KAPPA
+    pme.K1, pme.K2, pme.K3 = GRID
+    pme.refresh_calculators()
+    disp = ADMPDispPmeForce(box, sysd["covalent_map"], 4.0, 1e-3, 10)
+    disp.kappa = disp_kappa
+    disp.K1, disp.K2, disp.K3 = GRID
+    disp.refresh_calculators()
+    tt = generate_pairwise_interaction(
+        tt_damping_qq_c6_kernel, sysd["covalent_map"]
+    )
+
+    (e_pol, (u_single, conv1, _)), f_pol = pme._value_grad_aux(
+        positions, box, pairs, q_local, pol, tholes,
+        M_SCALES, M_SCALES, M_SCALES, u0,
+    )
+    assert bool(conv1)
+
+    def rest(pos):
+        e = tt(pos, box, pairs, M_SCALES, tt_a, tt_b, tt_q, c_list[:, 0])
+        return e - disp.get_energy(pos, box, pairs, c_list, M_SCALES)
+
+    e_rest, f_rest = jax.jit(jax.value_and_grad(rest))(positions)
+    np.testing.assert_allclose(
+        float(e_sharded), float(e_pol) + float(e_rest), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(u_sharded), np.asarray(u_single), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_sharded), np.asarray(f_pol) + np.asarray(f_rest),
+        atol=1e-8,
+    )
+
+
 def test_sharded_cell_pairs_match_single_device(mesh8):
     """Slab-decomposed pair search inside shard_map: the union of per-device
     pair blocks equals the single-device cell list (SURVEY §5 long-context
