@@ -206,14 +206,21 @@ class Hamiltonian:
     # snake_case alias
     get_generators = getGenerators
 
-    def createPotential(self, pdb_path: str, nonbondedCutoff: float = 10.0):
+    def createPotential(self, topology, nonbondedCutoff: float = 10.0):
         """Build potentials for a PDB topology. ``nonbondedCutoff`` in Angstrom.
+
+        ``topology`` is either a PDB file path or an already-parsed
+        ``io.pdb.PDBData`` object (so callers can construct/patch topologies —
+        extra CONECT bonds, box edits — before potential assembly, which the
+        reference's path-only surface cannot, admp/api.py:474).
 
         Returns a list of ``potential_fn(positions, box, pairs, params)``; call
         order matches generator declaration order in the XML, as in the
         reference (admp/api.py:474-488).
         """
-        pdb_data = read_pdb(pdb_path)
+        pdb_data = (
+            topology if hasattr(topology, "res_names") else read_pdb(topology)
+        )
         system = assemble_system(
             pdb_data, self._atom_templates, self._residue_templates,
             covalent_depth=6,
@@ -237,3 +244,21 @@ class Hamiltonian:
         return list(self._potentials)
 
     create_potential = createPotential
+
+    def createPotentialFromSystem(self, system, type_map,
+                                  nonbondedCutoff: float = 10.0):
+        """Build potentials for a fully custom topology: an assembled
+        ``io.topology.System`` (any source — trajectory readers, generated
+        structures) plus an explicit per-atom force-field ``type_map``.
+
+        Bypasses PDB parsing and residue-template matching entirely; the
+        system's ``bonds`` drive the covalent/exclusion maps.
+        """
+        self._system = system
+        self._potentials = [
+            gen.create_force(system, list(type_map), nonbondedCutoff)
+            for gen in self._generators
+        ]
+        return list(self._potentials)
+
+    create_potential_from_system = createPotentialFromSystem

@@ -23,6 +23,31 @@ class PDBData:
     charges: list
     connects: dict
     box: list  # (a, b, c, alpha, beta, gamma)
+    # original file serial column (CONECT records reference these; rebased
+    # indices in ``serials`` are file order, which only coincides with the
+    # serial column for 1..N-numbered files)
+    file_serials: list = dataclasses.field(default_factory=list)
+
+    def conect_bonds(self) -> list:
+        """CONECT records as 0-based (i, j) index pairs, deduplicated.
+
+        The reference parses CONECT lines but never feeds them to its
+        covalent-map builder (admp/parser.py:111-113); here they become real
+        bonds so non-template connectivity (ligands, cross-links) carries
+        exclusion scaling.
+        """
+        idx_by_serial = {s: k for k, s in enumerate(self.file_serials)}
+        out = set()
+        for s_a, partners in self.connects.items():
+            ia = idx_by_serial.get(s_a)
+            if ia is None:
+                continue
+            for s_b in partners:
+                ib = idx_by_serial.get(s_b)
+                if ib is None or ib == ia:
+                    continue
+                out.add((min(ia, ib), max(ia, ib)))
+        return sorted(out)
 
     def box_matrix(self) -> np.ndarray:
         """Box matrix (lattice vectors in rows, Angstrom) from the CRYST1
@@ -52,6 +77,7 @@ class PDBData:
 
 def read_pdb(path: str) -> PDBData:
     names, res_names, res_seqs, charges, positions = [], [], [], [], []
+    file_serials = []
     connects = {}
     cellpar = [0.0] * 6
     orig = np.eye(3)
@@ -70,6 +96,11 @@ def read_pdb(path: str) -> PDBData:
                 orig[row] = [float(line[10:20]), float(line[20:30]), float(line[30:40])]
                 trans[row] = float(line[45:55])
             elif rec in ("ATOM  ", "HETATM"):
+                serial_field = line[6:11].strip()
+                file_serials.append(
+                    int(serial_field) if serial_field.isdigit()
+                    else len(file_serials) + 1
+                )
                 names.append(line[12:16].strip())
                 res_names.append(line[17:21].strip())
                 res_seqs.append(int(line[22:26].split()[0]))
@@ -92,4 +123,5 @@ def read_pdb(path: str) -> PDBData:
         charges=charges,
         connects=connects,
         box=cellpar,
+        file_serials=file_serials,
     )

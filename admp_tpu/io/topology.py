@@ -153,6 +153,16 @@ def assemble_system(pdb_data, atom_templates, residue_templates,
             sb = serial_by_name[template.atoms[b_idx].name]
             bonds.append((sa, sb))
 
+    # CONECT records contribute connectivity templates can't express
+    # (inter-residue links, ligand bonds) so their exclusions are honoured
+    seen = {(min(a, b), max(a, b)) for a, b in bonds}
+    conect_fn = getattr(pdb_data, "conect_bonds", None)
+    if conect_fn is not None:
+        for key in conect_fn():
+            if key not in seen:
+                seen.add(key)
+                bonds.append(key)
+
     covalent_map = build_covalent_map_from_bonds(bonds, n, covalent_depth)
 
     return System(

@@ -86,6 +86,78 @@ def test_dispersion_potential_and_param_grad(small_case):
     assert np.all(np.isfinite(np.asarray(grads["C6"])))
 
 
+def test_create_potential_from_pdbdata_object(small_case, tmp_path):
+    """createPotential accepts a parsed PDBData object (patchable topology),
+    matching the path-based result exactly."""
+    from admp_tpu.io.pdb import read_pdb
+
+    positions, box = water_lattice(n_side=2, spacing=3.1, jitter=0.1, seed=2)
+    pdb = tmp_path / "obj.pdb"
+    _write_small_pdb(pdb, positions, box)
+    data = read_pdb(str(pdb))
+    ham = Hamiltonian(FF_XML)
+    pots = ham.createPotential(data, nonbondedCutoff=4.0)
+    gen = ham.getGenerators()[0]
+    e_obj = pots[0](
+        small_case["positions"], small_case["box"], small_case["pairs"],
+        gen.params,
+    )
+    gen0 = small_case["ham"].getGenerators()[0]
+    e_path = small_case["pots"][0](
+        small_case["positions"], small_case["box"], small_case["pairs"],
+        gen0.params,
+    )
+    np.testing.assert_allclose(float(e_obj), float(e_path), rtol=1e-12)
+
+
+def test_conect_bonds_reach_covalent_map(tmp_path):
+    """CONECT records add connectivity templates can't express: bonding two
+    water residues through CONECT must create inter-residue exclusions."""
+    from admp_tpu.io.ffxml import read_ffxml
+    from admp_tpu.io.pdb import read_pdb
+    from admp_tpu.io.topology import assemble_system
+
+    if not os.path.exists(FF_XML):
+        pytest.skip("reference forcefield.xml not available")
+    positions, box = water_lattice(n_side=2, spacing=3.1, jitter=0.1, seed=2)
+    pdb = tmp_path / "conect.pdb"
+    _write_small_pdb(pdb, positions, box)
+    # bond O of residue 1 (serial 1) to O of residue 2 (serial 4)
+    lines = pdb.read_text().splitlines()
+    lines.insert(-1, "CONECT    1    4")
+    pdb.write_text("\n".join(lines) + "\n")
+
+    data = read_pdb(str(pdb))
+    assert data.conect_bonds() == [(0, 3)]
+    atoms, residues = read_ffxml(FF_XML)
+    system = assemble_system(data, atoms, residues, covalent_depth=6)
+    cov = np.asarray(system.covalent_map)
+    assert cov[0, 3] == 1          # the CONECT bond itself
+    assert cov[0, 4] == 2          # O1 .. H of residue 2 via the new bond
+    assert cov[1, 3] == 2          # H of residue 1 .. O2
+
+
+def test_create_potential_from_system(small_case):
+    """createPotentialFromSystem: custom topology + explicit type map
+    bypasses PDB parsing; same numbers as the matched path."""
+    ham = Hamiltonian(FF_XML)
+    system = small_case["ham"]._system
+    n = system.n_atoms
+    type_map = ["380", "381", "381"] * (n // 3)
+    pots = ham.createPotentialFromSystem(system, type_map, nonbondedCutoff=4.0)
+    gen = ham.getGenerators()[0]
+    e_sys = pots[0](
+        small_case["positions"], small_case["box"], small_case["pairs"],
+        gen.params,
+    )
+    gen0 = small_case["ham"].getGenerators()[0]
+    e_path = small_case["pots"][0](
+        small_case["positions"], small_case["box"], small_case["pairs"],
+        gen0.params,
+    )
+    np.testing.assert_allclose(float(e_sys), float(e_path), rtol=1e-12)
+
+
 def test_polarizable_potential_and_param_grad(small_case):
     pot = small_case["pots"][1]
     gen = small_case["ham"].getGenerators()[1]
