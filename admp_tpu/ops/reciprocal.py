@@ -196,6 +196,93 @@ def spread_weights(u0, dug_dx, lmax: int):
     return jnp.concatenate(outs, axis=-1)
 
 
+# Separable-term derivative multi-indices (d^p/dux^p, d^q/duy^q, d^r/duz^r)
+# for the spread stencil: order 0, the three first derivatives, the six
+# second derivatives (p+q+r <= 2).
+_SEP_TERMS = [
+    (0, 0, 0),
+    (1, 0, 0), (0, 1, 0), (0, 0, 1),
+    (2, 0, 0), (1, 1, 0), (1, 0, 1), (0, 2, 0), (0, 1, 1), (0, 0, 2),
+]
+
+
+def spread_mixing_matrix(dug_dx, lmax: int):
+    """Constant (n_harm, n_terms) matrix M with  W_h = sum_t M[h,t] T_t  where
+    T_t = mx^(p) (x) my^(q) (x) mz^(r) are the separable spline-derivative
+    stencils of ``_SEP_TERMS`` and W_h the harmonic spread weights of
+    :func:`spread_weights`.
+
+    The Cartesian chain rule (du/dx Jacobian and Hessian conjugation) is
+    *atom-independent* — it depends only on the box — so the whole harmonic
+    channel mixing collapses to this one tiny matrix, applied to the (N, H)
+    multipoles instead of to (N, 216, H) stencil arrays. Same math as
+    spread_weights (kept as the readable specification and test oracle), at a
+    fraction of the memory traffic.
+    """
+    dug = dug_dx
+    one = jnp.ones((), dug.dtype)
+    zero = jnp.zeros((), dug.dtype)
+    n_terms = 1 + (3 if lmax >= 1 else 0) + (6 if lmax >= 2 else 0)
+    cols = []
+    # t0: plain theta -> only the monopole channel
+    col = [one] + [zero] * ((lmax + 1) ** 2 - 1)
+    cols.append(col)
+    if lmax >= 1:
+        for j in range(3):
+            # harmonic dipole order is (z, x, y); gradient carries the -1 of
+            # u = m_u0 - N s + 3 (see spread_weights)
+            col = [zero, -dug[j, 2], -dug[j, 0], -dug[j, 1]]
+            if lmax >= 2:
+                col += [zero] * 5
+            cols.append(col)
+    if lmax >= 2:
+        for (j, l) in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
+            def beta(c, d):
+                b = dug[j, c] * dug[l, d]
+                if j != l:
+                    b = b + dug[l, c] * dug[j, d]
+                return b
+            b00, b11, b22 = beta(0, 0), beta(1, 1), beta(2, 2)
+            col = [zero, zero, zero, zero,
+                   (3.0 * b22 - (b00 + b11 + b22)) / 2.0,
+                   RT3 * beta(0, 2),
+                   RT3 * beta(1, 2),
+                   RT3 / 2.0 * (b00 - b11),
+                   RT3 * beta(0, 1)]
+            cols.append(col)
+    assert len(cols) == n_terms
+    return jnp.stack([jnp.stack(c) for c in cols], axis=-1)  # (H, T)
+
+
+def spread_points_separable(u0, alpha, lmax: int):
+    """Per-atom 6x6x6 stencil values  Q[a] = sum_t alpha[a,t] T_t[a]  from the
+    separable spline-derivative products (see :func:`spread_mixing_matrix`).
+
+    The largest intermediate is (N, T, 36) — ~20x smaller than the
+    (N, 216, H) weight arrays of the direct formulation, which is what the
+    spread stage (and its force adjoint) is bound by on TPU.
+    """
+    n = u0.shape[0]
+    tabs = [bsplines.spline_values(u0)]
+    if lmax >= 1:
+        tabs.append(bsplines.spline_derivs(u0))
+    if lmax >= 2:
+        tabs.append(bsplines.spline_derivs2(u0))
+    tab = jnp.stack(tabs, axis=1)  # (N, lmax+1, 6, 3)
+    n_terms = alpha.shape[-1]
+    terms = _SEP_TERMS[:n_terms]
+    px = [t[0] for t in terms]
+    py = [t[1] for t in terms]
+    pz = [t[2] for t in terms]
+    x = tab[..., 0][:, px]  # (N, T, 6)
+    y = tab[..., 1][:, py]
+    z = tab[..., 2][:, pz]
+    ax = alpha[:, :, None] * x
+    xy = (ax[:, :, :, None] * y[:, :, None, :]).reshape(n, n_terms, 36)
+    q_points = jnp.einsum("atp,atk->apk", xy, z)  # (N, 36, 6)
+    return q_points.reshape(n, 6, 6, 6)
+
+
 def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
                    atom_chunk: int | None = None, method: str = "scatter",
                    interpret: bool = False, precision: str | None = None,
@@ -250,12 +337,15 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
     else:
         positions_w, box_w, q_w = positions, box, q_harm
     m_u0, u0, dug_dx = mesh_coordinates(positions_w, box_w, grid_shape)
-    weights = spread_weights(u0, dug_dx, lmax)  # (N,6,6,6,H)
 
     q = q_w[:, : (lmax + 1) ** 2]
     if lmax >= 2:
         q = jnp.concatenate([q[:, :4], q[:, 4:9] / 3.0], axis=-1)
-    q_points = jnp.einsum("ah,aijkh->aijk", q, weights)  # (N,6,6,6)
+    # fold the (atom-independent) Cartesian chain rule into one small matrix
+    # and build the stencil from separable spline-derivative products —
+    # avoids every (N, 216, H)-wide intermediate of the direct formulation
+    alpha = q @ spread_mixing_matrix(dug_dx, lmax)  # (N, T)
+    q_points = spread_points_separable(u0, alpha, lmax)  # (N,6,6,6)
     q_points = q_points.astype(work_dtype)
 
     if method == "pallas":

@@ -123,3 +123,28 @@ def test_order4_dispersion_spread_consistency():
         pos, box, c
     )
     assert abs(float(r4) - float(r6)) < 1e-3 * abs(float(r6)), (r4, r6)
+
+
+def test_separable_spread_matches_direct_weights():
+    """The separable-term spread (constant mixing matrix x separable spline
+    products, ops/reciprocal.spread_points_separable) must reproduce the
+    direct harmonic weight formulation (spread_weights, the readable spec)
+    exactly for every lmax."""
+    import numpy as np
+
+    from admp_tpu.ops import reciprocal as R
+
+    rng = np.random.default_rng(3)
+    n = 57
+    u0 = jnp.asarray(rng.uniform(3.0, 4.0, (n, 3)))
+    dug = jnp.asarray(rng.normal(size=(3, 3)))
+    for lmax in (0, 1, 2):
+        q = jnp.asarray(rng.normal(size=(n, (lmax + 1) ** 2)))
+        direct = jnp.einsum(
+            "ah,aijkh->aijk", q, R.spread_weights(u0, dug, lmax)
+        )
+        alpha = q @ R.spread_mixing_matrix(dug, lmax)
+        sep = R.spread_points_separable(u0, alpha, lmax)
+        np.testing.assert_allclose(
+            np.asarray(sep), np.asarray(direct), rtol=1e-13, atol=1e-13
+        )
