@@ -226,6 +226,7 @@ def make_induced_quadratic_energy(covalent_map, kappa, grid_shape, config,
         recip_precision=config.recip_precision,
         compensated=config.compensated_sums,
         static_box=static_box,
+        spread_order=config.spread_order,
     )
 
     def energy_uu(positions, box, pairs, u_ind_cart, pol, tholes, p_scales):
@@ -503,6 +504,7 @@ class ADMPPmeForce:
             recip_precision=cfg.recip_precision,
             compensated=cfg.compensated_sums,
             static_box=getattr(self, "_static_box", None),
+            spread_order=cfg.spread_order,
         )
         if self.lpol:
             self._build_polarizable()

@@ -53,6 +53,15 @@ _C = _piece_coeffs()              # B6 pieces
 _C1 = _C[:, 1:] * np.arange(1, ORDER)   # first derivative pieces
 _C2 = _C1[:, 1:] * np.arange(1, ORDER - 1)  # second derivative pieces
 
+_C4B = _piece_coeffs(4)           # B4 pieces
+_C4B1 = _C4B[:, 1:] * np.arange(1, 4)
+_C4B2 = _C4B1[:, 1:] * np.arange(1, 3)
+
+# (value, d/du, d2/du2) coefficient tables per supported spline order.
+# B4'' is piecewise *linear* (C0 at the knots) — usable for quadrupole
+# spreading, with the accuracy cost measured in examples/electro_tuning_tpu.
+_TABLES = {6: (_C, _C1, _C2), 4: (_C4B, _C4B1, _C4B2)}
+
 # B6 evaluated at the integer knots 1..5 — the Euler spline factors for theta_k
 # (reference: admp/recip.py:400-408 evaluates these at runtime; they are constants).
 # Exact rational values: [1/120, 26/120, 66/120, 26/120, 1/120]
@@ -60,20 +69,21 @@ B6_KNOTS = np.array([1.0, 26.0, 66.0, 26.0, 1.0]) / 120.0
 
 
 def _eval_pieces(u0, coeff_table):
-    """Evaluate each piece k at u = u0 + k - 3.
+    """Evaluate each piece k at u = u0 + k - order/2.
 
     Args:
-      u0: (..., 3) fractional offsets in [3, 4).
-      coeff_table: (6, deg+1) static coefficients.
+      u0: (..., 3) fractional offsets in [order/2, order/2 + 1).
+      coeff_table: (order, deg+1) static coefficients.
     Returns:
-      (..., 6, 3): value of stencil offset k (axis -2) for each dimension.
+      (..., order, 3): value of stencil offset k (axis -2) per dimension.
     """
+    order = coeff_table.shape[0]
     outs = []
     # cast coefficients to the input dtype: numpy f64 scalars would otherwise
     # promote f32 arrays to f64 under jax_enable_x64 (mixed-precision runs)
     table = coeff_table.astype(np.result_type(u0.dtype))
-    for k in range(ORDER):
-        u = u0 + (k - 3.0)
+    for k in range(order):
+        u = u0 + (k - order / 2.0)
         c = table[k]
         acc = jnp.full_like(u, c[-1])
         for p in range(len(c) - 2, -1, -1):
@@ -82,19 +92,19 @@ def _eval_pieces(u0, coeff_table):
     return jnp.stack(outs, axis=-2)
 
 
-def spline_values(u0):
-    """(..., 3) -> (..., 6, 3): B6 at the six stencil offsets per dimension."""
-    return _eval_pieces(u0, _C)
+def spline_values(u0, order: int = ORDER):
+    """(..., 3) -> (..., order, 3): B at the stencil offsets per dimension."""
+    return _eval_pieces(u0, _TABLES[order][0])
 
 
-def spline_derivs(u0):
-    """First derivatives B6' at the six stencil offsets per dimension."""
-    return _eval_pieces(u0, _C1)
+def spline_derivs(u0, order: int = ORDER):
+    """First derivatives B' at the stencil offsets per dimension."""
+    return _eval_pieces(u0, _TABLES[order][1])
 
 
-def spline_derivs2(u0):
-    """Second derivatives B6'' at the six stencil offsets per dimension."""
-    return _eval_pieces(u0, _C2)
+def spline_derivs2(u0, order: int = ORDER):
+    """Second derivatives B'' at the stencil offsets per dimension."""
+    return _eval_pieces(u0, _TABLES[order][2])
 
 
 def euler_spline_theta(kpts_int_axis, n_axis):
@@ -115,8 +125,6 @@ def euler_spline_theta(kpts_int_axis, n_axis):
 # 216-point one at measured accuracy cost — see EngineConfig.disp_spread_order)
 # ---------------------------------------------------------------------------
 
-_C4 = _piece_coeffs(4)
-
 # B4 at the integer knots 1..3: [1/6, 4/6, 1/6]
 B4_KNOTS = np.array([1.0, 4.0, 1.0]) / 6.0
 
@@ -125,16 +133,7 @@ def spline_values4(u0):
     """(..., 3) -> (..., 4, 3): B4 at the four stencil offsets per dimension.
 
     ``u0`` are fractional offsets in [2, 3) (order/2 = 2 shifted)."""
-    outs = []
-    table = _C4.astype(np.result_type(u0.dtype))
-    for k in range(4):
-        u = u0 + (k - 2.0)
-        c = table[k]
-        acc = jnp.full_like(u, c[-1])
-        for p in range(len(c) - 2, -1, -1):
-            acc = acc * u + c[p]
-        outs.append(acc)
-    return jnp.stack(outs, axis=-2)
+    return spline_values(u0, 4)
 
 
 def euler_spline_theta4(kpts_int_axis, n_axis):

@@ -254,39 +254,41 @@ def spread_mixing_matrix(dug_dx, lmax: int):
     return jnp.stack([jnp.stack(c) for c in cols], axis=-1)  # (H, T)
 
 
-def spread_points_separable(u0, alpha, lmax: int):
-    """Per-atom 6x6x6 stencil values  Q[a] = sum_t alpha[a,t] T_t[a]  from the
-    separable spline-derivative products (see :func:`spread_mixing_matrix`).
+def spread_points_separable(u0, alpha, lmax: int, order: int = 6):
+    """Per-atom order^3 stencil values  Q[a] = sum_t alpha[a,t] T_t[a]  from
+    the separable spline-derivative products (see :func:`spread_mixing_matrix`).
 
-    The largest intermediate is (N, T, 36) — ~20x smaller than the
-    (N, 216, H) weight arrays of the direct formulation, which is what the
+    The largest intermediate is (N, T, order^2) — ~20x smaller than the
+    (N, order^3, H) weight arrays of the direct formulation, which is what the
     spread stage (and its force adjoint) is bound by on TPU.
     """
     n = u0.shape[0]
-    tabs = [bsplines.spline_values(u0)]
+    tabs = [bsplines.spline_values(u0, order)]
     if lmax >= 1:
-        tabs.append(bsplines.spline_derivs(u0))
+        tabs.append(bsplines.spline_derivs(u0, order))
     if lmax >= 2:
-        tabs.append(bsplines.spline_derivs2(u0))
-    tab = jnp.stack(tabs, axis=1)  # (N, lmax+1, 6, 3)
+        tabs.append(bsplines.spline_derivs2(u0, order))
+    tab = jnp.stack(tabs, axis=1)  # (N, lmax+1, order, 3)
     n_terms = alpha.shape[-1]
     terms = _SEP_TERMS[:n_terms]
     px = [t[0] for t in terms]
     py = [t[1] for t in terms]
     pz = [t[2] for t in terms]
-    x = tab[..., 0][:, px]  # (N, T, 6)
+    x = tab[..., 0][:, px]  # (N, T, order)
     y = tab[..., 1][:, py]
     z = tab[..., 2][:, pz]
     ax = alpha[:, :, None] * x
-    xy = (ax[:, :, :, None] * y[:, :, None, :]).reshape(n, n_terms, 36)
-    q_points = jnp.einsum("atp,atk->apk", xy, z)  # (N, 36, 6)
-    return q_points.reshape(n, 6, 6, 6)
+    xy = (ax[:, :, :, None] * y[:, :, None, :]).reshape(
+        n, n_terms, order * order
+    )
+    q_points = jnp.einsum("atp,atk->apk", xy, z)  # (N, order^2, order)
+    return q_points.reshape(n, order, order, order)
 
 
 def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
                    atom_chunk: int | None = None, method: str = "scatter",
                    interpret: bool = False, precision: str | None = None,
-                   mesh_dtype=None):
+                   mesh_dtype=None, order: int = 6):
     """Spread harmonic multipoles onto the (K1, K2, K3) charge mesh.
 
     Quadrupole channels carry the 1/3 prefactor of the MPID convention
@@ -323,7 +325,7 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
             p_blk, q_blk = blk
             return mesh + spread_to_mesh(
                 p_blk, box, q_blk, grid_shape, lmax, None, method, interpret,
-                precision, mesh_dtype,
+                precision, mesh_dtype, order,
             ), 0.0
 
         mesh0 = jnp.zeros((k1, k2, k3), mesh_dtype or q_harm.dtype)
@@ -336,7 +338,7 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
         q_w = q_harm.astype(jnp.float64)
     else:
         positions_w, box_w, q_w = positions, box, q_harm
-    m_u0, u0, dug_dx = mesh_coordinates(positions_w, box_w, grid_shape)
+    m_u0, u0, dug_dx = mesh_coordinates(positions_w, box_w, grid_shape, order)
 
     q = q_w[:, : (lmax + 1) ** 2]
     if lmax >= 2:
@@ -345,7 +347,7 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
     # and build the stencil from separable spline-derivative products —
     # avoids every (N, 216, H)-wide intermediate of the direct formulation
     alpha = q @ spread_mixing_matrix(dug_dx, lmax)  # (N, T)
-    q_points = spread_points_separable(u0, alpha, lmax)  # (N,6,6,6)
+    q_points = spread_points_separable(u0, alpha, lmax, order)
     q_points = q_points.astype(work_dtype)
 
     if method == "pallas":
@@ -353,10 +355,11 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
         # measured ~1.6x over the XLA scatter at water_1024 scale on v5e
         from admp_tpu.ops.pallas.spread import spread_blocks
 
+        assert order == 6, "pallas spread kernel is order-6 only"
         return spread_blocks(m_u0, q_points, grid_shape, 16, interpret)
 
-    offsets = jnp.arange(-3, 3)
-    idx1 = jnp.mod(m_u0[:, 0:1] + offsets[None, :], k1)  # (N,6)
+    offsets = jnp.arange(-(order // 2), order // 2)
+    idx1 = jnp.mod(m_u0[:, 0:1] + offsets[None, :], k1)  # (N,order)
     idx2 = jnp.mod(m_u0[:, 1:2] + offsets[None, :], k2)
     idx3 = jnp.mod(m_u0[:, 2:3] + offsets[None, :], k3)
     # flattened 1D scatter: measurably cheaper than the 3D form on TPU,
@@ -551,7 +554,7 @@ def _hermitian_weights(k3: int, dtype):
 
 def convolve_energy(mesh, box, kappa, ck_fn, include_gamma: bool, prefactor=1.0,
                     compensated: bool = False, force_split: bool = False,
-                    dft: bool = False):
+                    dft: bool = False, order: int = 6):
     """E = prefactor * sum_k C(k^2) |S_k|^2 / theta_k^2.
 
     The mesh is real, so the spectrum is Hermitian: an rfft over the last axis
@@ -563,7 +566,8 @@ def convolve_energy(mesh, box, kappa, ck_fn, include_gamma: bool, prefactor=1.0,
     grid_shape = mesh.shape
     box = box.astype(mesh.dtype)
     volume = det3x3(box)
-    ksq, theta_sq = k_space_grids(box, grid_shape, mesh.dtype, rfft=True)
+    ksq, theta_sq = k_space_grids(box, grid_shape, mesh.dtype, rfft=True,
+                                  order=order)
     s_sq = spectrum_sq_dft(mesh) if dft else spectrum_sq(mesh, force_split)
 
     nonzero = ksq > 0.0
@@ -583,7 +587,7 @@ def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0,
                    spread_precision: str | None = None,
                    recip_precision: str | None = None,
                    compensated: bool = False,
-                   static_box=None):
+                   static_box=None, spread_order: int = 6):
     """Build a reciprocal-space energy function (positions, box, Q) -> energy.
 
     Matches the reference factory generate_pme_recip (admp/recip.py:21) with
@@ -615,7 +619,8 @@ def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0,
         box0 = jnp.asarray(static_box)
         dtype = jnp.float64 if f64_mode else box0.dtype
         ksq, theta_sq = k_space_grids(
-            box0.astype(dtype), grid_shape, dtype, rfft=True
+            box0.astype(dtype), grid_shape, dtype, rfft=True,
+            order=spread_order,
         )
         volume = det3x3(box0.astype(dtype))
         w3 = _hermitian_weights(grid_shape[2], dtype)
@@ -635,7 +640,7 @@ def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0,
         mesh_dtype = jnp.float64 if f64_mode else None
         mesh = spread_to_mesh(
             positions, box, q_harm, grid_shape, lmax, atom_chunk, spread_method,
-            False, spread_precision, mesh_dtype,
+            False, spread_precision, mesh_dtype, spread_order,
         )
         if cached is not None:
             weight, gamma0 = cached
@@ -653,7 +658,7 @@ def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0,
         else:
             energy = convolve_energy(
                 mesh, box, kappa, ck_fn, include_gamma, prefactor, compensated,
-                dft=(recip_precision == "f64-dft"),
+                dft=(recip_precision == "f64-dft"), order=spread_order,
             )
         return energy.astype(q_harm.dtype)
 

@@ -79,6 +79,10 @@ class EngineConfig:
       fft_friendly_grid: round the OpenMM mesh heuristic up to 5-smooth sizes.
     Spreading:
       spread_method: 'scatter' (flat 1D XLA scatter) or 'pallas' (slab kernel).
+      spread_order: B-spline order for the *electrostatic* spread (6 =
+        reference parity; 4 = 64-point stencil with piecewise-linear B4''
+        quadrupole channels — accuracy delta measured in
+        examples/electro_tuning_tpu.out / ROADMAP.md).
       spread_precision: None or 'f64' — evaluate the B-spline weight pipeline
         in float64 (requires jax_enable_x64; elementwise-emulated on TPU).
     Precision (north star: f32 force RMSE < 1e-6 vs f64, BASELINE.md):
@@ -114,6 +118,7 @@ class EngineConfig:
 
     fft_friendly_grid: bool = False
     spread_method: str = "scatter"
+    spread_order: int = 6
     spread_precision: str | None = None
     realspace_precision: str | None = None
     recip_precision: str | None = None

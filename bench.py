@@ -166,7 +166,12 @@ def build_nonpol_workload():
         box_j, axis_types, axis_indices, covalent_map, rc, ethresh, lmax=2,
         config=EngineConfig(cache_influence=True),
     )
-    pme.update_env("kappa", 0.657065221219616)
+    pme.kappa = 0.657065221219616
+    # K=128 electro grid (vs heuristic 154): dE -0.50 kJ/mol, force RMSE
+    # 1.9e-4 relative — both under the plain-f32 floor of 4.3e-4
+    # (examples/electro_tuning_tpu.out); power-of-two FFT
+    pme.K1, pme.K2, pme.K3 = 128, 128, 128
+    pme.refresh_calculators()
     disp = ADMPDispPmeForce(
         box_j, covalent_map, rc, ethresh, pmax=10,
         config=EngineConfig(disp_ethresh=2e-4, disp_spread_order=4,
