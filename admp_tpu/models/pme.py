@@ -27,22 +27,15 @@ from admp_tpu.utils.linalg3 import inv3x3
 
 from admp_tpu.ops import realspace
 from admp_tpu.ops.ewald import setup_ewald_parameters
-from admp_tpu.ops.frames import build_quasi_internal, construct_local_frames
-from admp_tpu.ops.harmonics import (
-    cart_dipole_to_harm,
-    rot_dipole_global2local,
-    rot_global2local,
-    rot_local2global,
-)
+from admp_tpu.ops.frames import construct_local_frames
+from admp_tpu.ops.harmonics import cart_dipole_to_harm, rot_local2global
 from admp_tpu.ops.influence import ck_1
-from admp_tpu.ops.pbc import pbc_shift
 from admp_tpu.ops.reciprocal import make_pme_recip
 from admp_tpu.ops.selfenergy import pme_self_energy, polarization_penalty
 from admp_tpu.scf.solver import make_induced_dipole_solver
 from admp_tpu.settings import EngineConfig, SCFConfig, maybe_jit
 from admp_tpu.utils.accmath import compensated_sum, masked_compensated_sum
 from admp_tpu.utils.constants import DIELECTRIC
-from admp_tpu.utils.safety import masked_norm
 
 
 def pme_real_energy(
@@ -103,15 +96,13 @@ def pme_real_energy(
     i = jnp.minimum(raw_i, n - 1)
     j = jnp.minimum(raw_j, n - 1)
 
-    box_inv = inv3x3(box)
-    r1 = positions[i]
-    r2 = positions[j]
-    dr = pbc_shift(r1 - r2, box, box_inv)
-    r = masked_norm(dr, mask)
-
-    frames_qi = build_quasi_internal(r1, r2, dr, r)
-    qi_i = rot_global2local(q_global[i], frames_qi, lmax)
-    qi_j = rot_global2local(q_global[j], frames_qi, lmax)
+    # component (SoA) pipeline: every per-pair intermediate is a flat (C,)
+    # vector — the (C, 3, 3)/(C, 9) AoS forms tile-pad up to ~40x on TPU and
+    # were the dominant real-space cost (ROADMAP round-2 continuation)
+    r, qi_i, qi_j, ui, uj = realspace.qi_pair_components(
+        positions, box, q_global, i, j, mask, lmax,
+        u_ind_harm if lpol else None,
+    )
 
     from admp_tpu.ops.exclusions import (
         lookup_topology_distance,
@@ -128,8 +119,6 @@ def pme_real_energy(
 
     if lpol:
         pscale = scale_for_distance(p_scales, nbond)
-        ui = rot_dipole_global2local(u_ind_harm[i], frames_qi)
-        uj = rot_dipole_global2local(u_ind_harm[j], frames_qi)
         dmp = realspace.pair_damping_width(pol[i], pol[j])
         icoef = realspace.induced_coefficients(
             r, tholes[i], tholes[j], dmp, pscale, kappa, lmax
@@ -177,14 +166,39 @@ def pme_real_uu_energy(
     i = jnp.minimum(raw_i, n - 1)
     j = jnp.minimum(raw_j, n - 1)
 
-    box_inv = inv3x3(box)
-    r1 = positions[i]
-    r2 = positions[j]
-    dr = pbc_shift(r1 - r2, box, box_inv)
-    r = masked_norm(dr, mask)
-    frames_qi = build_quasi_internal(r1, r2, dr, r)
-    ui = rot_dipole_global2local(u_ind_harm[i], frames_qi)
-    uj = rot_dipole_global2local(u_ind_harm[j], frames_qi)
+    # The uu contraction only needs the radial projection: in the QI frame
+    #   e = m0 uj_z ui_z + m1 (uj_x ui_x + uj_y ui_y)
+    # and the transverse dot product is rotation-invariant, so
+    #   e = (m0 - m1) (uj.zhat)(ui.zhat) + m1 (ui.uj)
+    # — no quasi-internal frame build at all. Component (SoA) pipeline
+    # throughout: (C,)-flat intermediates only (this is the PCG matvec, run
+    # every SCF iteration and every implicit-adjoint iteration).
+    p_i, p_j = positions[i], positions[j]
+    xi, yi, zi = p_i[:, 0], p_i[:, 1], p_i[:, 2]
+    xj, yj, zj = p_j[:, 0], p_j[:, 1], p_j[:, 2]
+    dx, dy, dz = xi - xj, yi - yj, zi - zj
+    binv = inv3x3(box)
+    sa = dx * binv[0, 0] + dy * binv[1, 0] + dz * binv[2, 0]
+    sb = dx * binv[0, 1] + dy * binv[1, 1] + dz * binv[2, 1]
+    sc = dx * binv[0, 2] + dy * binv[1, 2] + dz * binv[2, 2]
+    sa = sa - jnp.floor(sa + 0.5)
+    sb = sb - jnp.floor(sb + 0.5)
+    sc = sc - jnp.floor(sc + 0.5)
+    dx = sa * box[0, 0] + sb * box[1, 0] + sc * box[2, 0]
+    dy = sa * box[0, 1] + sb * box[1, 1] + sc * box[2, 1]
+    dz = sa * box[0, 2] + sb * box[1, 2] + sc * box[2, 2]
+    sq = dx * dx + dy * dy + dz * dz
+    sq_safe = jnp.where(mask, sq, 1.0)
+    r = jnp.where(mask, jnp.sqrt(sq_safe), jnp.ones_like(sq))
+    rinv = 1.0 / r
+
+    # u in harmonic (z, x, y) order -> cartesian components
+    ug_i, ug_j = u_ind_harm[i], u_ind_harm[j]
+    uix, uiy, uiz = ug_i[:, 1], ug_i[:, 2], ug_i[:, 0]
+    ujx, ujy, ujz = ug_j[:, 1], ug_j[:, 2], ug_j[:, 0]
+    ui_z = (uix * dx + uiy * dy + uiz * dz) * rinv
+    uj_z = (ujx * dx + ujy * dy + ujz * dz) * rinv
+    ui_dot_uj = uix * ujx + uiy * ujy + uiz * ujz
 
     from admp_tpu.ops.exclusions import (
         lookup_topology_distance,
@@ -197,9 +211,7 @@ def pme_real_uu_energy(
     m0, m1 = realspace.induced_uu_coefficients(
         r, tholes[i], tholes[j], dmp, pscale, kappa
     )
-    e = m0 * uj[..., 0] * ui[..., 0] + m1 * (
-        uj[..., 1] * ui[..., 1] + uj[..., 2] * ui[..., 2]
-    )
+    e = (m0 - m1) * uj_z * ui_z + m1 * ui_dot_uj
     return jnp.sum(jnp.where(mask, e, 0.0))
 
 

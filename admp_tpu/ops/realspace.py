@@ -28,6 +28,158 @@ from jax.scipy.special import erfc
 
 from admp_tpu.utils.accmath import exp_accurate
 from admp_tpu.utils.constants import DEFAULT_THOLE_WIDTH, DIELECTRIC, SQRT_PI
+from admp_tpu.utils.linalg3 import inv3x3
+
+_RT3 = 3.0 ** 0.5
+
+
+def _comp(q, k):
+    """Component k of a multipole set: (C,) from a tuple of components (SoA)
+    or a trailing-axis slice of an (..., H) array (AoS)."""
+    if isinstance(q, (tuple, list)):
+        return q[k]
+    return q[..., k]
+
+
+def _rotate_harm_soa(q, f, lmax: int):
+    """Rotate harmonic multipole components by per-pair frames, all in (C,)
+    component form (same math as ops/harmonics._rotate_harm).
+
+    ``q``: sequence of (C,) harmonic components; ``f``: 9-tuple of frame
+    entries (fxx..fzz, rows = local x, y, z axes).
+    """
+    fxx, fxy, fxz, fyx, fyy, fyz, fzx, fzy, fzz = f
+    out = [q[0]]
+    if lmax >= 1:
+        # harmonic dipole order (z, x, y) -> cartesian
+        cx, cy, cz = q[2], q[3], q[1]
+        lx = fxx * cx + fxy * cy + fxz * cz
+        ly = fyx * cx + fyy * cy + fyz * cz
+        lz = fzx * cx + fzy * cy + fzz * cz
+        out += [lz, lx, ly]
+    if lmax >= 2:
+        q20, q21c, q21s, q22c, q22s = q[4], q[5], q[6], q[7], q[8]
+        h = _RT3 / 2.0
+        txx = -0.5 * q20 + h * q22c
+        tyy = -0.5 * q20 - h * q22c
+        tzz = q20
+        txy = h * q22s
+        txz = h * q21c
+        tyz = h * q21s
+        # T' = F T F^T via u[a] = F[a] . T (T symmetric)
+        ux_x = fxx * txx + fxy * txy + fxz * txz
+        ux_y = fxx * txy + fxy * tyy + fxz * tyz
+        ux_z = fxx * txz + fxy * tyz + fxz * tzz
+        uy_x = fyx * txx + fyy * txy + fyz * txz
+        uy_y = fyx * txy + fyy * tyy + fyz * tyz
+        uy_z = fyx * txz + fyy * tyz + fyz * tzz
+        uz_x = fzx * txx + fzy * txy + fzz * txz
+        uz_y = fzx * txy + fzy * tyy + fzz * tyz
+        uz_z = fzx * txz + fzy * tyz + fzz * tzz
+        tpxx = ux_x * fxx + ux_y * fxy + ux_z * fxz
+        tpyy = uy_x * fyx + uy_y * fyy + uy_z * fyz
+        tpzz = uz_x * fzx + uz_y * fzy + uz_z * fzz
+        tpxy = ux_x * fyx + ux_y * fyy + ux_z * fyz
+        tpxz = ux_x * fzx + ux_y * fzy + ux_z * fzz
+        tpyz = uy_x * fzx + uy_y * fzy + uy_z * fzz
+        inv = 2.0 / _RT3
+        out += [tpzz, inv * tpxz, inv * tpyz, (tpxx - tpyy) / _RT3,
+                inv * tpxy]
+    return tuple(out)
+
+
+def qi_pair_components(positions, box, q_comps, i, j, mask, lmax: int,
+                       u_comps=None):
+    """Pair geometry + quasi-internal-frame rotation, entirely in component
+    ((C,)-array) form.
+
+    The array-of-structures formulation materializes (C, 3, 3) frames and
+    (C, 9) rotated multipoles between ops; TPU tiles pad those minor dims to
+    (8, 128) — up to ~40x the logical bytes — and the batched 3x3 einsums
+    force the padded layouts to exist. Measured on the 3000-atom liquid box
+    (53k pair capacity): the frames+rotation stage alone was 8.7 of the
+    14.6 ms real-space step. Component arrays keep every intermediate a flat
+    lane-packed (C,) vector; same math as ops/frames.build_quasi_internal +
+    ops/harmonics.rot_global2local (reference: admp/spatial.py:149-178,
+    admp/multipole.py:92-179).
+
+    Args:
+      q_comps: (N, H) harmonic multipoles (H >= (lmax+1)^2).
+      u_comps: optional (N, 3) induced dipoles (harmonic z, x, y order).
+
+    Returns:
+      (r, qi_i, qi_j, ui, uj): r (C,) sanitized distances; qi_* component
+      tuples in the QI frame; ui/uj component triples or None.
+    """
+    # one AoS gather per site (TPU gathers fetch a padded row per index, so
+    # a single (C, 3) gather beats three 1-D gathers), then immediately
+    # unpack to (C,) components for the scalar pipeline
+    p_i, p_j = positions[i], positions[j]
+    xi, yi, zi = p_i[:, 0], p_i[:, 1], p_i[:, 2]
+    xj, yj, zj = p_j[:, 0], p_j[:, 1], p_j[:, 2]
+    dx, dy, dz = xi - xj, yi - yj, zi - zj
+    binv = inv3x3(box)
+    # minimum-image wrap in fractional coordinates (ops/pbc.pbc_shift)
+    sa = dx * binv[0, 0] + dy * binv[1, 0] + dz * binv[2, 0]
+    sb = dx * binv[0, 1] + dy * binv[1, 1] + dz * binv[2, 1]
+    sc = dx * binv[0, 2] + dy * binv[1, 2] + dz * binv[2, 2]
+    sa = sa - jnp.floor(sa + 0.5)
+    sb = sb - jnp.floor(sb + 0.5)
+    sc = sc - jnp.floor(sc + 0.5)
+    dx = sa * box[0, 0] + sb * box[1, 0] + sc * box[2, 0]
+    dy = sa * box[0, 1] + sb * box[1, 1] + sc * box[2, 1]
+    dz = sa * box[0, 2] + sb * box[1, 2] + sc * box[2, 2]
+    # masked norm (utils/safety.masked_norm, fill = 1)
+    sq = dx * dx + dy * dy + dz * dz
+    sq_safe = jnp.where(mask, sq, 1.0)
+    r = jnp.where(mask, jnp.sqrt(sq_safe), jnp.ones_like(sq))
+
+    # quasi-internal frame (ops/frames.build_quasi_internal): z along dr,
+    # x from a degeneracy-aware seed orthogonalized against z
+    rinv = 1.0 / r
+    fzx, fzy, fzz = dx * rinv, dy * rinv, dz * rinv
+    degenerate = jnp.logical_and(yi == yj, zi == zj)
+    one = jnp.ones_like(r)
+    seedx = jnp.where(degenerate, 0.0 * one, one)
+    seedy = one - seedx
+    vx = fzx + seedx
+    vy = fzy + seedy
+    vz = fzz
+    dot = fzx * vx + fzy * vy + fzz * vz
+    vx = vx - fzx * dot
+    vy = vy - fzy * dot
+    vz = vz - fzz * dot
+    # safe_normalize (utils/safety): ~zero vectors map to zero
+    nsq = vx * vx + vy * vy + vz * vz
+    small = nsq < 1e-12
+    ninv = jnp.where(
+        small, 0.0, 1.0 / jnp.sqrt(jnp.where(small, 1.0, nsq))
+    )
+    fxx, fxy, fxz = vx * ninv, vy * ninv, vz * ninv
+    # y = z x x
+    fyx = fzy * fxz - fzz * fxy
+    fyy = fzz * fxx - fzx * fxz
+    fyz = fzx * fxy - fzy * fxx
+
+    frame = (fxx, fxy, fxz, fyx, fyy, fyz, fzx, fzy, fzz)
+    n_h = (lmax + 1) ** 2
+    qg_i, qg_j = q_comps[i], q_comps[j]  # AoS gathers, then unpack
+    q_i = tuple(qg_i[:, k] for k in range(n_h))
+    q_j = tuple(qg_j[:, k] for k in range(n_h))
+    qi_i = _rotate_harm_soa(q_i, frame, lmax)
+    qi_j = _rotate_harm_soa(q_j, frame, lmax)
+
+    ui = uj = None
+    if u_comps is not None:
+        ug_i, ug_j = u_comps[i], u_comps[j]
+        zero = jnp.zeros_like(r)
+        ui = _rotate_harm_soa(
+            (zero, ug_i[:, 0], ug_i[:, 1], ug_i[:, 2]), frame, 1
+        )[1:]
+        uj = _rotate_harm_soa(
+            (zero, ug_j[:, 0], ug_j[:, 1], ug_j[:, 2]), frame, 1
+        )[1:]
+    return r, qi_i, qi_j, ui, uj
 
 
 def ewald_screening_s(kr, x, mscale):
@@ -183,37 +335,37 @@ def pair_energy_perm(qi_i, qi_j, coef, lmax: int):
     E = 0.5 (qiQJ . Vij + qiQI . Vji) with Vij = T qiQI, Vji = T^T qiQJ
     collapses to qiQJ^T T qiQI.
     """
-    e = coef["cc"] * qi_j[..., 0] * qi_i[..., 0]
+    e = coef["cc"] * _comp(qi_j, 0) * _comp(qi_i, 0)
     if lmax >= 1:
         # antisymmetric charge-dipole: -cd (qj0 qi1 - qj1 qi0)
         e = e + coef["cd"] * (
-            qi_j[..., 1] * qi_i[..., 0] - qi_j[..., 0] * qi_i[..., 1]
+            _comp(qi_j, 1) * _comp(qi_i, 0) - _comp(qi_j, 0) * _comp(qi_i, 1)
         )
-        e = e + coef["dd_m0"] * qi_j[..., 1] * qi_i[..., 1]
+        e = e + coef["dd_m0"] * _comp(qi_j, 1) * _comp(qi_i, 1)
         e = e + coef["dd_m1"] * (
-            qi_j[..., 2] * qi_i[..., 2] + qi_j[..., 3] * qi_i[..., 3]
+            _comp(qi_j, 2) * _comp(qi_i, 2) + _comp(qi_j, 3) * _comp(qi_i, 3)
         )
     if lmax >= 2:
         # symmetric charge-quadrupole
         e = e + coef["cq"] * (
-            qi_j[..., 0] * qi_i[..., 4] + qi_j[..., 4] * qi_i[..., 0]
+            _comp(qi_j, 0) * _comp(qi_i, 4) + _comp(qi_j, 4) * _comp(qi_i, 0)
         )
         # antisymmetric dipole-quadrupole
         e = e + coef["dq_m0"] * (
-            qi_j[..., 1] * qi_i[..., 4] - qi_j[..., 4] * qi_i[..., 1]
+            _comp(qi_j, 1) * _comp(qi_i, 4) - _comp(qi_j, 4) * _comp(qi_i, 1)
         )
         e = e + coef["dq_m1"] * (
-            qi_j[..., 2] * qi_i[..., 5]
-            - qi_j[..., 5] * qi_i[..., 2]
-            + qi_j[..., 3] * qi_i[..., 6]
-            - qi_j[..., 6] * qi_i[..., 3]
+            _comp(qi_j, 2) * _comp(qi_i, 5)
+            - _comp(qi_j, 5) * _comp(qi_i, 2)
+            + _comp(qi_j, 3) * _comp(qi_i, 6)
+            - _comp(qi_j, 6) * _comp(qi_i, 3)
         )
-        e = e + coef["qq_m0"] * qi_j[..., 4] * qi_i[..., 4]
+        e = e + coef["qq_m0"] * _comp(qi_j, 4) * _comp(qi_i, 4)
         e = e + coef["qq_m1"] * (
-            qi_j[..., 5] * qi_i[..., 5] + qi_j[..., 6] * qi_i[..., 6]
+            _comp(qi_j, 5) * _comp(qi_i, 5) + _comp(qi_j, 6) * _comp(qi_i, 6)
         )
         e = e + coef["qq_m2"] * (
-            qi_j[..., 7] * qi_i[..., 7] + qi_j[..., 8] * qi_i[..., 8]
+            _comp(qi_j, 7) * _comp(qi_i, 7) + _comp(qi_j, 8) * _comp(qi_i, 8)
         )
     return e
 
@@ -227,24 +379,24 @@ def pair_energy_induced(qi_i, qi_j, ui, uj, icoef, lmax: int):
     admp/pme.py:527-607,621-624.
     """
     # qiQJ^T G ui : rows with even-parity source (charge/quad) carry -ui coupling
-    e_ju = -icoef["cud"] * qi_j[..., 0] * ui[..., 0]
-    e_iu = icoef["cud"] * qi_i[..., 0] * uj[..., 0]
+    e_ju = -icoef["cud"] * _comp(qi_j, 0) * _comp(ui, 0)
+    e_iu = icoef["cud"] * _comp(qi_i, 0) * _comp(uj, 0)
     if lmax >= 1:
-        e_ju = e_ju + icoef["dud_m0"] * qi_j[..., 1] * ui[..., 0] + icoef[
+        e_ju = e_ju + icoef["dud_m0"] * _comp(qi_j, 1) * _comp(ui, 0) + icoef[
             "dud_m1"
-        ] * (qi_j[..., 2] * ui[..., 1] + qi_j[..., 3] * ui[..., 2])
-        e_iu = e_iu + icoef["dud_m0"] * qi_i[..., 1] * uj[..., 0] + icoef[
+        ] * (_comp(qi_j, 2) * _comp(ui, 1) + _comp(qi_j, 3) * _comp(ui, 2))
+        e_iu = e_iu + icoef["dud_m0"] * _comp(qi_i, 1) * _comp(uj, 0) + icoef[
             "dud_m1"
-        ] * (qi_i[..., 2] * uj[..., 1] + qi_i[..., 3] * uj[..., 2])
+        ] * (_comp(qi_i, 2) * _comp(uj, 1) + _comp(qi_i, 3) * _comp(uj, 2))
     if lmax >= 2:
-        e_ju = e_ju - icoef["udq_m0"] * qi_j[..., 4] * ui[..., 0] - icoef[
+        e_ju = e_ju - icoef["udq_m0"] * _comp(qi_j, 4) * _comp(ui, 0) - icoef[
             "udq_m1"
-        ] * (qi_j[..., 5] * ui[..., 1] + qi_j[..., 6] * ui[..., 2])
-        e_iu = e_iu + icoef["udq_m0"] * qi_i[..., 4] * uj[..., 0] + icoef[
+        ] * (_comp(qi_j, 5) * _comp(ui, 1) + _comp(qi_j, 6) * _comp(ui, 2))
+        e_iu = e_iu + icoef["udq_m0"] * _comp(qi_i, 4) * _comp(uj, 0) + icoef[
             "udq_m1"
-        ] * (qi_i[..., 5] * uj[..., 1] + qi_i[..., 6] * uj[..., 2])
-    e_uu = icoef["udud_m0"] * uj[..., 0] * ui[..., 0] + icoef["udud_m1"] * (
-        uj[..., 1] * ui[..., 1] + uj[..., 2] * ui[..., 2]
+        ] * (_comp(qi_i, 5) * _comp(uj, 1) + _comp(qi_i, 6) * _comp(uj, 2))
+    e_uu = icoef["udud_m0"] * _comp(uj, 0) * _comp(ui, 0) + icoef["udud_m1"] * (
+        _comp(uj, 1) * _comp(ui, 1) + _comp(uj, 2) * _comp(ui, 2)
     )
     return 0.5 * (e_ju + e_iu) + e_uu
 
