@@ -16,7 +16,6 @@ from admp_tpu.utils.linalg3 import inv3x3
 from admp_tpu.ops.dispersion import dispersion_pair_energy
 from admp_tpu.ops.ewald import setup_ewald_parameters
 from admp_tpu.ops.influence import ck_6, ck_8, ck_10
-from admp_tpu.ops.pbc import pbc_shift
 from admp_tpu.ops.reciprocal import make_disp_pme_recip
 from admp_tpu.ops.selfenergy import dispersion_self_energy
 from admp_tpu.settings import EngineConfig, maybe_jit
@@ -31,9 +30,23 @@ def disp_pme_real_energy(positions, box, pairs, c_list, m_scales, covalent_map,
     mask = raw_i < raw_j
     i = jnp.minimum(raw_i, n - 1)
     j = jnp.minimum(raw_j, n - 1)
-    box_inv = inv3x3(box)
-    dr = pbc_shift(positions[i] - positions[j], box, box_inv)
-    r2 = jnp.sum(dr * dr, axis=-1)
+    # component-form geometry (see ops/realspace.qi_pair_components): AoS
+    # gathers, scalar minimum-image wrap, no (C, 3) intermediates
+    p_i, p_j = positions[i], positions[j]
+    dx = p_i[:, 0] - p_j[:, 0]
+    dy = p_i[:, 1] - p_j[:, 1]
+    dz = p_i[:, 2] - p_j[:, 2]
+    binv = inv3x3(box)
+    sa = dx * binv[0, 0] + dy * binv[1, 0] + dz * binv[2, 0]
+    sb = dx * binv[0, 1] + dy * binv[1, 1] + dz * binv[2, 1]
+    sc = dx * binv[0, 2] + dy * binv[1, 2] + dz * binv[2, 2]
+    sa = sa - jnp.floor(sa + 0.5)
+    sb = sb - jnp.floor(sb + 0.5)
+    sc = sc - jnp.floor(sc + 0.5)
+    dx = sa * box[0, 0] + sb * box[1, 0] + sc * box[2, 0]
+    dy = sa * box[0, 1] + sb * box[1, 1] + sc * box[2, 1]
+    dz = sa * box[0, 2] + sb * box[1, 2] + sc * box[2, 2]
+    r2 = dx * dx + dy * dy + dz * dz
     r2 = jnp.where(mask, r2, 1.0)
     from admp_tpu.ops.exclusions import (
         lookup_topology_distance,

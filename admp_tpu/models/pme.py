@@ -27,8 +27,11 @@ from admp_tpu.utils.linalg3 import inv3x3
 
 from admp_tpu.ops import realspace
 from admp_tpu.ops.ewald import setup_ewald_parameters
-from admp_tpu.ops.frames import construct_local_frames
-from admp_tpu.ops.harmonics import cart_dipole_to_harm, rot_local2global
+from admp_tpu.ops.frames import local_frames_components
+from admp_tpu.ops.harmonics import (
+    cart_dipole_to_harm,
+    rot_local2global_components,
+)
 from admp_tpu.ops.influence import ck_1
 from admp_tpu.ops.reciprocal import make_pme_recip
 from admp_tpu.ops.selfenergy import pme_self_energy, polarization_penalty
@@ -320,8 +323,14 @@ def energy_pme(
     positions_g = positions.astype(geo_dtype)
     box_g = box.astype(geo_dtype)
     if lmax > 0:
-        frames = construct_local_frames(positions_g, box_g, axis_types, axis_indices)
-        q_global = rot_local2global(q_local.astype(geo_dtype), frames, lmax)
+        # component-form frames + rotation (no (N,3,3)/(N,9) padded-tile
+        # intermediates; see ops/frames.local_frames_components)
+        frame_comps = local_frames_components(
+            positions_g, box_g, axis_types, axis_indices
+        )
+        q_global = rot_local2global_components(
+            q_local.astype(geo_dtype), frame_comps, lmax
+        )
     else:
         q_global = q_local.astype(geo_dtype)
 

@@ -91,6 +91,101 @@ def construct_local_frames(positions, box, axis_types, axis_indices):
     return jnp.where(is_noaxis[..., None], eye, frames)
 
 
+def _soa_normalize(vx, vy, vz, eps=1e-12):
+    """safe_normalize on component triples: ~zero vectors map to zero."""
+    nsq = vx * vx + vy * vy + vz * vz
+    small = nsq < eps
+    ninv = jnp.where(small, 0.0, 1.0 / jnp.sqrt(jnp.where(small, 1.0, nsq)))
+    return vx * ninv, vy * ninv, vz * ninv
+
+
+def local_frames_components(positions, box, axis_types, axis_indices):
+    """:func:`construct_local_frames` in component ((N,)-array) form.
+
+    Returns the 9 frame entries (fxx, fxy, fxz, fyx, ..., fzz) as flat (N,)
+    arrays — rows are local (x, y, z) axes, same convention. Avoids every
+    (N, 3)/(N, 3, 3) intermediate: TPU tiles pad those minor dims to (8, 128)
+    and the where-selects/stacks force the padded layouts to materialize
+    (same finding as the pair kernel, ROADMAP round-2 continuation).
+    """
+    n = positions.shape[0]
+    box_inv = inv3x3(box)
+    axis_types = jnp.asarray(axis_types)
+    idx = jnp.mod(jnp.asarray(axis_indices), n)
+    z_at, x_at, y_at = idx[:, 0], idx[:, 1], idx[:, 2]
+
+    is_zonly = axis_types == ZONLY
+    is_bisector = axis_types == BISECTOR
+    is_zbisect = axis_types == ZBISECT
+    is_threefold = axis_types == THREEFOLD
+    is_noaxis = axis_types == NOAXISTYPE
+
+    px, py, pz = positions[:, 0], positions[:, 1], positions[:, 2]
+
+    def anchor_dir(at):
+        # AoS gather (a row per index), then scalar pbc wrap + normalize
+        pa = positions[at]
+        dx, dy, dz = pa[:, 0] - px, pa[:, 1] - py, pa[:, 2] - pz
+        sa = dx * box_inv[0, 0] + dy * box_inv[1, 0] + dz * box_inv[2, 0]
+        sb = dx * box_inv[0, 1] + dy * box_inv[1, 1] + dz * box_inv[2, 1]
+        sc = dx * box_inv[0, 2] + dy * box_inv[1, 2] + dz * box_inv[2, 2]
+        sa = sa - jnp.floor(sa + 0.5)
+        sb = sb - jnp.floor(sb + 0.5)
+        sc = sc - jnp.floor(sc + 0.5)
+        dx = sa * box[0, 0] + sb * box[1, 0] + sc * box[2, 0]
+        dy = sa * box[0, 1] + sb * box[1, 1] + sc * box[2, 1]
+        dz = sa * box[0, 2] + sb * box[1, 2] + sc * box[2, 2]
+        return _soa_normalize(dx, dy, dz)
+
+    zx, zy, zz = anchor_dir(z_at)
+    ax, ay, az = anchor_dir(x_at)  # x anchor
+
+    # Zonly: unit x or unit y depending on the dominant component of z
+    zx_round = jnp.round(jnp.abs(zx))
+    xx = jnp.where(is_zonly, 1.0 - zx_round, ax)
+    xy = jnp.where(is_zonly, zx_round, ay)
+    xz = jnp.where(is_zonly, jnp.zeros_like(az), az)
+
+    bx, by, bz = anchor_dir(y_at)  # y anchor (ZBisect / ThreeFold)
+
+    # Bisector: z bisects (z, x)
+    nzx, nzy, nzz = _soa_normalize(zx + xx, zy + xy, zz + xz)
+    zx = jnp.where(is_bisector, nzx, zx)
+    zy = jnp.where(is_bisector, nzy, zy)
+    zz = jnp.where(is_bisector, nzz, zz)
+    # ZBisect: x bisects (x, y-anchor)
+    nxx, nxy, nxz = _soa_normalize(xx + bx, xy + by, xz + bz)
+    xx = jnp.where(is_zbisect, nxx, xx)
+    xy = jnp.where(is_zbisect, nxy, xy)
+    xz = jnp.where(is_zbisect, nxz, xz)
+    # ThreeFold: z is the average of (z, x, y-anchor)
+    tzx, tzy, tzz = _soa_normalize(zx + xx + bx, zy + xy + by, zz + xz + bz)
+    zx = jnp.where(is_threefold, tzx, zx)
+    zy = jnp.where(is_threefold, tzy, zy)
+    zz = jnp.where(is_threefold, tzz, zz)
+
+    # Gram-Schmidt x against z, then y = z x x
+    proj = xx * zx + xy * zy + xz * zz
+    xx, xy, xz = _soa_normalize(xx - zx * proj, xy - zy * proj, xz - zz * proj)
+    yx = zy * xz - zz * xy
+    yy = zz * xx - zx * xz
+    yz = zx * xy - zy * xx
+
+    # NoAxisType sites get the identity frame
+    one = jnp.ones_like(proj)
+    zero = jnp.zeros_like(proj)
+    fxx = jnp.where(is_noaxis, one, xx)
+    fxy = jnp.where(is_noaxis, zero, xy)
+    fxz = jnp.where(is_noaxis, zero, xz)
+    fyx = jnp.where(is_noaxis, zero, yx)
+    fyy = jnp.where(is_noaxis, one, yy)
+    fyz = jnp.where(is_noaxis, zero, yz)
+    fzx = jnp.where(is_noaxis, zero, zx)
+    fzy = jnp.where(is_noaxis, zero, zy)
+    fzz = jnp.where(is_noaxis, one, zz)
+    return (fxx, fxy, fxz, fyx, fyy, fyz, fzx, fzy, fzz)
+
+
 def make_frame_constructor(axis_types, axis_indices):
     """Close over static per-system axis data; mirrors the reference factory
     (admp/spatial.py:44) for API familiarity."""

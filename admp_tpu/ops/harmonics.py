@@ -138,6 +138,54 @@ def _rotate_harm(q, rot, lmax: int):
     return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
 
 
+def rotate_harm_components(q, f, lmax: int):
+    """Rotate harmonic multipole components by per-pair frames, all in (C,)
+    component form (same math as ops/harmonics._rotate_harm).
+
+    ``q``: sequence of (C,) harmonic components; ``f``: 9-tuple of frame
+    entries (fxx..fzz, rows = local x, y, z axes).
+    """
+    fxx, fxy, fxz, fyx, fyy, fyz, fzx, fzy, fzz = f
+    out = [q[0]]
+    if lmax >= 1:
+        # harmonic dipole order (z, x, y) -> cartesian
+        cx, cy, cz = q[2], q[3], q[1]
+        lx = fxx * cx + fxy * cy + fxz * cz
+        ly = fyx * cx + fyy * cy + fyz * cz
+        lz = fzx * cx + fzy * cy + fzz * cz
+        out += [lz, lx, ly]
+    if lmax >= 2:
+        q20, q21c, q21s, q22c, q22s = q[4], q[5], q[6], q[7], q[8]
+        h = RT3 / 2.0
+        txx = -0.5 * q20 + h * q22c
+        tyy = -0.5 * q20 - h * q22c
+        tzz = q20
+        txy = h * q22s
+        txz = h * q21c
+        tyz = h * q21s
+        # T' = F T F^T via u[a] = F[a] . T (T symmetric)
+        ux_x = fxx * txx + fxy * txy + fxz * txz
+        ux_y = fxx * txy + fxy * tyy + fxz * tyz
+        ux_z = fxx * txz + fxy * tyz + fxz * tzz
+        uy_x = fyx * txx + fyy * txy + fyz * txz
+        uy_y = fyx * txy + fyy * tyy + fyz * tyz
+        uy_z = fyx * txz + fyy * tyz + fyz * tzz
+        uz_x = fzx * txx + fzy * txy + fzz * txz
+        uz_y = fzx * txy + fzy * tyy + fzz * tyz
+        uz_z = fzx * txz + fzy * tyz + fzz * tzz
+        tpxx = ux_x * fxx + ux_y * fxy + ux_z * fxz
+        tpyy = uy_x * fyx + uy_y * fyy + uy_z * fyz
+        tpzz = uz_x * fzx + uz_y * fzy + uz_z * fzz
+        tpxy = ux_x * fyx + ux_y * fyy + ux_z * fyz
+        tpxz = ux_x * fzx + ux_y * fzy + ux_z * fzz
+        tpyz = uy_x * fzx + uy_y * fzy + uy_z * fzz
+        inv = 2.0 / RT3
+        out += [tpzz, inv * tpxz, inv * tpyz, (tpxx - tpyy) / RT3,
+                inv * tpxy]
+    return tuple(out)
+
+
+
 def rot_global2local(q_global, frames, lmax: int = 2):
     """Rotate harmonic multipoles from the global frame into per-site local frames.
 
@@ -173,3 +221,14 @@ def cart_dipole_to_harm(u_cart):
 
 def harm_dipole_to_cart(u_harm):
     return jnp.stack([u_harm[..., 1], u_harm[..., 2], u_harm[..., 0]], axis=-1)
+
+
+def rot_local2global_components(q_local, frame_comps, lmax: int = 2):
+    """Local -> global rotation via frame *components* (see
+    ops/frames.local_frames_components): rotates with F^T and restacks to an
+    (N, H) array — the only (N, H)-materialization point of the per-atom
+    pipeline."""
+    f = frame_comps
+    ft = (f[0], f[3], f[6], f[1], f[4], f[7], f[2], f[5], f[8])
+    q_comps = tuple(q_local[..., k] for k in range((lmax + 1) ** 2))
+    return jnp.stack(rotate_harm_components(q_comps, ft, lmax), axis=-1)

@@ -28,9 +28,8 @@ from jax.scipy.special import erfc
 
 from admp_tpu.utils.accmath import exp_accurate
 from admp_tpu.utils.constants import DEFAULT_THOLE_WIDTH, DIELECTRIC, SQRT_PI
+from admp_tpu.ops.harmonics import rotate_harm_components as _rotate_harm_soa
 from admp_tpu.utils.linalg3 import inv3x3
-
-_RT3 = 3.0 ** 0.5
 
 
 def _comp(q, k):
@@ -39,53 +38,6 @@ def _comp(q, k):
     if isinstance(q, (tuple, list)):
         return q[k]
     return q[..., k]
-
-
-def _rotate_harm_soa(q, f, lmax: int):
-    """Rotate harmonic multipole components by per-pair frames, all in (C,)
-    component form (same math as ops/harmonics._rotate_harm).
-
-    ``q``: sequence of (C,) harmonic components; ``f``: 9-tuple of frame
-    entries (fxx..fzz, rows = local x, y, z axes).
-    """
-    fxx, fxy, fxz, fyx, fyy, fyz, fzx, fzy, fzz = f
-    out = [q[0]]
-    if lmax >= 1:
-        # harmonic dipole order (z, x, y) -> cartesian
-        cx, cy, cz = q[2], q[3], q[1]
-        lx = fxx * cx + fxy * cy + fxz * cz
-        ly = fyx * cx + fyy * cy + fyz * cz
-        lz = fzx * cx + fzy * cy + fzz * cz
-        out += [lz, lx, ly]
-    if lmax >= 2:
-        q20, q21c, q21s, q22c, q22s = q[4], q[5], q[6], q[7], q[8]
-        h = _RT3 / 2.0
-        txx = -0.5 * q20 + h * q22c
-        tyy = -0.5 * q20 - h * q22c
-        tzz = q20
-        txy = h * q22s
-        txz = h * q21c
-        tyz = h * q21s
-        # T' = F T F^T via u[a] = F[a] . T (T symmetric)
-        ux_x = fxx * txx + fxy * txy + fxz * txz
-        ux_y = fxx * txy + fxy * tyy + fxz * tyz
-        ux_z = fxx * txz + fxy * tyz + fxz * tzz
-        uy_x = fyx * txx + fyy * txy + fyz * txz
-        uy_y = fyx * txy + fyy * tyy + fyz * tyz
-        uy_z = fyx * txz + fyy * tyz + fyz * tzz
-        uz_x = fzx * txx + fzy * txy + fzz * txz
-        uz_y = fzx * txy + fzy * tyy + fzz * tyz
-        uz_z = fzx * txz + fzy * tyz + fzz * tzz
-        tpxx = ux_x * fxx + ux_y * fxy + ux_z * fxz
-        tpyy = uy_x * fyx + uy_y * fyy + uy_z * fyz
-        tpzz = uz_x * fzx + uz_y * fzy + uz_z * fzz
-        tpxy = ux_x * fyx + ux_y * fyy + ux_z * fyz
-        tpxz = ux_x * fzx + ux_y * fzy + ux_z * fzz
-        tpyz = uy_x * fzx + uy_y * fzy + uy_z * fzz
-        inv = 2.0 / _RT3
-        out += [tpzz, inv * tpxz, inv * tpyz, (tpxx - tpyy) / _RT3,
-                inv * tpxy]
-    return tuple(out)
 
 
 def qi_pair_components(positions, box, q_comps, i, j, mask, lmax: int,

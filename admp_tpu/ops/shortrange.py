@@ -10,7 +10,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 from admp_tpu.utils.linalg3 import inv3x3
 
-from admp_tpu.ops.pbc import pbc_shift
 from admp_tpu.utils.accmath import exp_accurate
 from admp_tpu.utils.constants import ANGSTROM_TO_BOHR, HARTREE_TO_KJMOL
 
@@ -49,9 +48,23 @@ def expand_pairs(positions, box, pairs, covalent_map, scales):
     mask = raw_i < raw_j
     i = jnp.minimum(raw_i, n - 1)
     j = jnp.minimum(raw_j, n - 1)
-    box_inv = inv3x3(box)
-    dr = pbc_shift(positions[i] - positions[j], box, box_inv)
-    r2 = jnp.sum(dr * dr, axis=-1)
+    # component-form geometry: one AoS gather per site, then scalar wrap —
+    # (C, 3) displacement intermediates tile-pad on TPU (see ops/realspace)
+    p_i, p_j = positions[i], positions[j]
+    dx = p_i[:, 0] - p_j[:, 0]
+    dy = p_i[:, 1] - p_j[:, 1]
+    dz = p_i[:, 2] - p_j[:, 2]
+    binv = inv3x3(box)
+    sa = dx * binv[0, 0] + dy * binv[1, 0] + dz * binv[2, 0]
+    sb = dx * binv[0, 1] + dy * binv[1, 1] + dz * binv[2, 1]
+    sc = dx * binv[0, 2] + dy * binv[1, 2] + dz * binv[2, 2]
+    sa = sa - jnp.floor(sa + 0.5)
+    sb = sb - jnp.floor(sb + 0.5)
+    sc = sc - jnp.floor(sc + 0.5)
+    dx = sa * box[0, 0] + sb * box[1, 0] + sc * box[2, 0]
+    dy = sa * box[0, 1] + sb * box[1, 1] + sc * box[2, 1]
+    dz = sa * box[0, 2] + sb * box[1, 2] + sc * box[2, 2]
+    r2 = dx * dx + dy * dy + dz * dz
     r2 = jnp.where(mask, r2, 1.0)
     r = jnp.sqrt(r2)
     from admp_tpu.ops.exclusions import (
@@ -81,10 +94,14 @@ def generate_pairwise_interaction(pair_int_kernel, covalent_map, static_args=Non
         mask, i, j, r, mscale = expand_pairs(
             positions, box, pairs, covalent_map, m_scales
         )
+        # pack the per-atom parameter columns and gather each site ONCE:
+        # a (C, P) row-per-index gather beats P separate 1-D gathers on TPU
+        packed = jnp.stack(atomic_params, axis=-1)
+        g_i, g_j = packed[i], packed[j]
         gathered = []
-        for param in atomic_params:
-            gathered.append(param[i])
-            gathered.append(param[j])
+        for k in range(len(atomic_params)):
+            gathered.append(g_i[:, k])
+            gathered.append(g_j[:, k])
         energies = pair_int_kernel(r, mscale, *gathered)
         return jnp.sum(jnp.where(mask, energies, 0.0))
 

@@ -31,8 +31,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from admp_tpu.models.pme import pme_real_energy
 from admp_tpu.ops import bsplines
-from admp_tpu.ops.frames import construct_local_frames
-from admp_tpu.ops.harmonics import rot_local2global
+from admp_tpu.ops.frames import local_frames_components
+from admp_tpu.ops.harmonics import rot_local2global_components
 from admp_tpu.ops.reciprocal import (
     _fft_int_freqs,
     _hermitian_weights,
@@ -173,8 +173,10 @@ def _make_local_energy(axis_name, n_dev, grid_shape, kappa, lmax,
 
     def _shared(positions, box, pairs_local, q_local, m_scales,
                 u_ind, pol, tholes, p_scales):
-        frames = construct_local_frames(positions, box, axis_types, axis_indices)
-        q_global = rot_local2global(q_local, frames, lmax)
+        frame_comps = local_frames_components(
+            positions, box, axis_types, axis_indices
+        )
+        q_global = rot_local2global_components(q_local, frame_comps, lmax)
         u_harm = cart_dipole_to_harm(u_ind) if lpol else None
         e_real = pme_real_energy(
             positions, box, pairs_local, q_global, u_harm, pol, tholes,
