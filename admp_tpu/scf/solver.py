@@ -163,6 +163,17 @@ def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig(),
     def solve_bwd(residuals, cotangents):
         u_star, inputs, pol = residuals
         g, _ = cotangents  # cotangent of u*, diagnostics are non-differentiable
+        if not config.exact_adjoint:
+            # Feynman-Hellmann mode: u* is treated as the exact variational
+            # optimum, so the solve contributes no gradient (the energy's
+            # dependence on theta flows through the separate direct
+            # evaluation at u*). This is the reference's stop_gradient
+            # behavior (admp/pme.py:114-125); error is O(SCF residual).
+            return (
+                jax.tree_util.tree_map(jnp.zeros_like, inputs),
+                jnp.zeros_like(u_star),
+                jnp.zeros_like(pol),
+            )
         matvec, _, diag, site_mask = _setup(inputs, pol)
         precond = lambda r: r * diag
         # adjoint solve A w = g (A symmetric); relative tolerance on the cotangent

@@ -68,6 +68,14 @@ class SCFConfig:
     # evaluation (residual / max|cotangent|); 1e-8 is f64-grade exactness,
     # ~3e-7 suffices for an f32 force pipeline and converges in fewer matvecs
     adjoint_tol: float = 1e-8
+    # exact_adjoint=False switches to the Feynman-Hellmann shortcut the
+    # reference uses (admp/pme.py:83,114-125): the SCF solve contributes NO
+    # gradient (u* treated as the exact variational optimum), skipping the
+    # implicit-adjoint solve and the field-VJP inside every force evaluation.
+    # Exact for dE/dtheta at tight SCF convergence; any other function of the
+    # dipoles (dipole-fitting losses) then gets silently truncated gradients
+    # — keep True for fitting workloads. Measured cost/accuracy in ROADMAP.md.
+    exact_adjoint: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

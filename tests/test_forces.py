@@ -191,3 +191,51 @@ def test_f64_weight_pipeline_cuts_recip_force_error(small):
     err_f32 = np.sqrt(((forces(jnp.float32) - f_ref) ** 2).mean())
     err_mix = np.sqrt(((forces(jnp.float32, "f64") - f_ref) ** 2).mean())
     assert err_mix < 0.25 * err_f32
+
+
+def test_feynman_hellmann_adjoint_mode():
+    """SCFConfig(exact_adjoint=False) — the reference's stop_gradient SCF
+    (admp/pme.py:114-125) — must run and give forces close to (but measurably
+    different from) the exact implicit adjoint; exactness stays the default.
+    Measured on the 3000-atom liquid box: the truncation costs 1.7e-3
+    relative force RMSE and saves NO time (the adjoint solve is absorbed by
+    XLA overlap) — see examples/fh_adjoint_tpu.out."""
+    import numpy as np
+
+    from admp_tpu import ADMPPmeForce, SCFConfig
+    from admp_tpu.ops.harmonics import convert_cart2harm
+    from admp_tpu.settings import EngineConfig
+    from tests.watergen import water_arrays
+
+    sysd = water_arrays(n_side=2, spacing=3.0, jitter=0.1, seed=7)
+    n = sysd["positions"].shape[0]
+    pairs = [[i, j] for i in range(n) for j in range(i + 1, n)]
+    pairs = jnp.asarray(pairs, dtype=jnp.int32)
+    q_local = convert_cart2harm(jnp.asarray(sysd["q_cart"]), 2)
+    scales = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0])
+    box = jnp.asarray(sysd["box"])
+    positions = jnp.asarray(sysd["positions"])
+    u0 = jnp.zeros((n, 3))
+
+    assert SCFConfig().exact_adjoint  # exact gradients are the default
+
+    out = {}
+    for exact in (True, False):
+        pme = ADMPPmeForce(
+            box, sysd["axis_types"], sysd["axis_indices"],
+            sysd["covalent_map"], 3.0, 1e-3, 2, lpol=True,
+            config=EngineConfig(scf=SCFConfig(exact_adjoint=exact)),
+        )
+        (e, (_u, conv, _n)), f = pme._value_grad_aux(
+            positions, box, pairs, q_local, jnp.asarray(sysd["pol"]),
+            jnp.asarray(sysd["tholes"]), scales, scales, scales, u0,
+        )
+        assert bool(conv)
+        out[exact] = (float(e), np.asarray(f))
+    # identical energies (the solve itself is unchanged) ...
+    np.testing.assert_allclose(out[True][0], out[False][0], rtol=1e-12)
+    # ... close but not identical forces (truncated implicit term)
+    df = out[False][1] - out[True][1]
+    ref = np.sqrt(np.mean(out[True][1] ** 2))
+    rel = np.sqrt(np.mean(df**2)) / ref
+    assert 0.0 < rel < 0.05, rel
