@@ -406,12 +406,24 @@ def energy_pme(
             compensated=False,
         )
         e_real = e_real.astype(f64) + e_excl
-    recip_q = (
-        q_tot
-        if config.recip_precision in ("f64", "f64-dft")
-        else q_tot.astype(work_dtype)
-    )
-    e_recip = pme_recip_fn(positions, box, recip_q)
+    recip_f64 = config.recip_precision in ("f64", "f64-dft")
+    if lpol and lmax == 0:
+        # the recip engine was built for lmax=0 (charge-only spreading) but
+        # induced dipoles exist — spread them on their own lmax=1 mesh and
+        # sum meshes (spread is linear). Without this the reciprocal space
+        # silently drops the induced dipoles for charge-only polarizable
+        # models.
+        recip_q = q_global if recip_f64 else q_global.astype(work_dtype)
+        recip_u = u_harm if recip_f64 else u_harm.astype(work_dtype)
+        e_recip = pme_recip_fn(positions, box, recip_q[:, :1], recip_u)
+    else:
+        # NOTE: a split-mesh variant for lmax>0 lpol (spread q_global and
+        # u on separate meshes, hoping XLA CSE shares the q_global spread
+        # with the SCF right-hand side) measured SLOWER: 39.4 -> 44.9 ms on
+        # the polarizable bench — the sharing does not materialize and the
+        # extra dipole FFT is pure overhead. Keep the summed q_tot spread.
+        recip_q = q_tot if recip_f64 else q_tot.astype(work_dtype)
+        e_recip = pme_recip_fn(positions, box, recip_q)
     e_self = pme_self_energy(q_tot, kappa, lmax_eff)
     e_pol = None
     if lpol:

@@ -635,13 +635,29 @@ def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0,
         )
         cached = (weight, gamma0)
 
-    def pme_recip(positions, box, q_harm):
+    def pme_recip(positions, box, q_harm, u_harm=None):
+        """``u_harm`` (N, 3, harmonic z/x/y order): spread the induced dipoles
+        on a SEPARATE lmax=1 mesh and sum the meshes. Spreading is linear in
+        the multipoles, so this equals spreading q_harm with u added to its
+        dipole channels — but the q_harm mesh is then an identical
+        subexpression of the permanent-field computation (b = -field(0))
+        inside the same jit, so XLA CSE shares one full spread+FFT between
+        the SCF right-hand side and the energy evaluation at u*."""
         atom_chunk = 4096 if positions.shape[0] > 16384 else None
         mesh_dtype = jnp.float64 if f64_mode else None
         mesh = spread_to_mesh(
             positions, box, q_harm, grid_shape, lmax, atom_chunk, spread_method,
             False, spread_precision, mesh_dtype, spread_order,
         )
+        if u_harm is not None:
+            q_u = jnp.concatenate(
+                [jnp.zeros((u_harm.shape[0], 1), u_harm.dtype), u_harm],
+                axis=-1,
+            )
+            mesh = mesh + spread_to_mesh(
+                positions, box, q_u, grid_shape, 1, atom_chunk, spread_method,
+                False, spread_precision, mesh_dtype, spread_order,
+            )
         if cached is not None:
             weight, gamma0 = cached
             s_sq = (

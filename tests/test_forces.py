@@ -239,3 +239,53 @@ def test_feynman_hellmann_adjoint_mode():
     ref = np.sqrt(np.mean(out[True][1] ** 2))
     rel = np.sqrt(np.mean(df**2)) / ref
     assert 0.0 < rel < 0.05, rel
+
+
+def test_lmax0_lpol_recip_includes_induced_dipoles():
+    """Charge-only polarizable model (lmax=0, lpol): the reciprocal space
+    must include the induced dipoles. Cross-check: identical physics
+    expressed as lmax=1 with zero permanent dipoles must give the same
+    energy and forces (the reference's own lmax==0+lpol branch is buggy,
+    admp/pme.py:226-227, so this is a self-consistency gate, not an oracle
+    one)."""
+    import numpy as np
+
+    from admp_tpu import ADMPPmeForce
+    from tests.watergen import water_arrays
+
+    sysd = water_arrays(n_side=2, spacing=3.0, jitter=0.1, seed=11)
+    n = sysd["positions"].shape[0]
+    pairs = [[i, j] for i in range(n) for j in range(i + 1, n)]
+    pairs = jnp.asarray(pairs, dtype=jnp.int32)
+    scales = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0])
+    box = jnp.asarray(sysd["box"])
+    positions = jnp.asarray(sysd["positions"])
+    charges = jnp.asarray(sysd["q_cart"][:, :1])  # charges only
+    pol = jnp.asarray(sysd["pol"])
+    tholes = jnp.asarray(sysd["tholes"])
+    u0 = jnp.zeros((n, 3))
+    # no anchors needed for charges; NoAxisType everywhere
+    from admp_tpu.ops import frames as fc
+
+    axis_types = np.full(n, fc.NOAXISTYPE, dtype=np.int32)
+    axis_indices = np.full((n, 3), -1, dtype=np.int32)
+
+    out = {}
+    for lmax, q in ((0, charges), (1, jnp.concatenate(
+            [charges, jnp.zeros((n, 3))], axis=-1))):
+        pme = ADMPPmeForce(
+            box, axis_types, axis_indices, sysd["covalent_map"],
+            3.0, 1e-3, lmax, lpol=True,
+        )
+        (e, (u_star, conv, _n)), f = pme._value_grad_aux(
+            positions, box, pairs, q, pol, tholes,
+            scales, scales, scales, u0,
+        )
+        assert bool(conv)
+        out[lmax] = (float(e), np.asarray(f), np.asarray(u_star))
+    np.testing.assert_allclose(out[0][0], out[1][0], rtol=1e-10)
+    np.testing.assert_allclose(out[0][1], out[1][1], atol=1e-10)
+    np.testing.assert_allclose(out[0][2], out[1][2], atol=1e-10)
+    # and the recip term really sees the dipoles: a nonzero-u energy must
+    # differ from the u=0 energy by more than the real+self parts alone
+    assert np.abs(out[0][2]).max() > 1e-4
