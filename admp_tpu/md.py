@@ -24,6 +24,9 @@ import jax.numpy as jnp
 # a [A/ps^2] = F [kJ/mol/A] / m [g/mol] * 100
 _ACC = 100.0
 
+# pressure conversion into the engine's kJ/mol/A^3 unit
+BAR_TO_KJMOL_A3 = 6.02214076e-5
+
 
 class MDState(NamedTuple):
     positions: jnp.ndarray
@@ -144,6 +147,64 @@ def run_nve_metrics(force_fn, masses, dt, state: MDState, n_steps: int,
     flat = (state.positions, state.velocities, state.forces, state.aux)
     (pos, vel, frc, aux), recs = jax.lax.scan(body, flat, None, length=n_steps)
     return MDState(pos, vel, frc, aux), recs
+
+
+def make_mc_barostat(energy_fn, molecules, pressure, temperature,
+                     max_dlnv: float = 0.02):
+    """Isotropic Monte-Carlo barostat step (NPT when alternated with an NVT
+    integrator).
+
+    The reference has no integrator at all; this closes the NPT loop on
+    device. Standard molecular-scaling MC volume move: propose
+    ln V' = ln V + u, scale molecular centers of mass affinely (internal
+    geometry rigid), accept with probability
+        min(1, exp(-beta [dU + P dV - (n_mol + 1) kT ln(V'/V)]))
+    (Frenkel & Smit eq. 5.4.11, ln-volume sampling). ``energy_fn(positions,
+    box) -> scalar`` must accept a traced box (build engines with
+    ``cache_influence=False`` so the influence grids track the box; the
+    PME mesh sizes stay static, so keep volume fluctuations within the
+    grid's accuracy margin).
+
+    Args:
+      molecules: (N,) int molecule id per atom (contiguous ids 0..M-1).
+    Returns:
+      step(positions, box, key) -> (positions', box', accepted, energy').
+    """
+    k_b = 0.00831446261815324
+    molecules = jnp.asarray(molecules)
+    n_mol = int(jnp.max(molecules)) + 1
+    beta = 1.0 / (k_b * temperature)
+
+    def com_scale(positions, factor):
+        # scale molecular centers, keep internal geometry
+        counts = jnp.zeros(n_mol).at[molecules].add(1.0)[:, None]
+        com = (
+            jnp.zeros((n_mol, 3)).at[molecules].add(positions) / counts
+        )
+        return positions + (factor - 1.0) * com[molecules]
+
+    def step(positions, box, key):
+        k1, k2 = jax.random.split(key)
+        v_old = jnp.abs(jnp.linalg.det(box))
+        dlnv = max_dlnv * jax.random.uniform(k1, minval=-1.0, maxval=1.0)
+        v_new = v_old * jnp.exp(dlnv)
+        factor = (v_new / v_old) ** (1.0 / 3.0)
+        pos_new = com_scale(positions, factor)
+        box_new = box * factor
+
+        e_old = energy_fn(positions, box)
+        e_new = energy_fn(pos_new, box_new)
+        # ln-volume move weight: (n_mol + 1) kT ln(V'/V)
+        arg = -beta * (
+            e_new - e_old + pressure * (v_new - v_old)
+        ) + (n_mol + 1) * dlnv
+        accept = jnp.log(jax.random.uniform(k2)) < arg
+        positions = jnp.where(accept, pos_new, positions)
+        box = jnp.where(accept, box_new, box)
+        energy = jnp.where(accept, e_new, e_old)
+        return positions, box, accept, energy
+
+    return step
 
 
 def format_metrics_lines(metrics, every: int = 1):
