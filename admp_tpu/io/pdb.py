@@ -83,9 +83,16 @@ def read_pdb(path: str) -> PDBData:
     orig = np.eye(3)
     trans = np.zeros(3)
 
+    reading_atoms = True
     with open(path) as fh:
         for line in fh:
             rec = line[:6]
+            if line.startswith("END"):
+                # first model only (ENDMDL; bare END also accepted, matching
+                # the reference's CP2K/VMD-style trajectory tolerance,
+                # admp/parser.py:151-158) — CONECT records after it still count
+                reading_atoms = False
+                continue
             if rec == "CRYST1":
                 cellpar = [
                     float(line[6:15]), float(line[15:24]), float(line[24:33]),
@@ -95,7 +102,7 @@ def read_pdb(path: str) -> PDBData:
                 row = int(rec[5]) - 1
                 orig[row] = [float(line[10:20]), float(line[20:30]), float(line[30:40])]
                 trans[row] = float(line[45:55])
-            elif rec in ("ATOM  ", "HETATM"):
+            elif rec in ("ATOM  ", "HETATM") and reading_atoms:
                 serial_field = line[6:11].strip()
                 file_serials.append(
                     int(serial_field) if serial_field.isdigit()

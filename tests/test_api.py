@@ -175,3 +175,33 @@ def test_polarizable_potential_and_param_grad(small_case):
     gpol = np.asarray(grads["pol"])
     assert np.any(gpol[0::3] != 0.0)
     assert np.all(np.isfinite(np.asarray(grads["Q_local"])))
+
+
+def test_multi_model_pdb_reads_first_model_only(tmp_path):
+    """MODEL/ENDMDL trajectories: only the first configuration is read (the
+    reference's END-tolerant behavior, admp/parser.py:151-158); CONECT
+    records after ENDMDL still apply."""
+    from admp_tpu.io.pdb import read_pdb
+
+    pdb = tmp_path / "multi.pdb"
+    pdb.write_text(
+        "CRYST1   10.000   10.000   10.000  90.00  90.00  90.00 P 1\n"
+        "MODEL        1\n"
+        "HETATM    1  O   HOH A   1       1.000   1.000   1.000  1.00  0.00"
+        "           O\n"
+        "HETATM    2  H1  HOH A   1       1.900   1.000   1.000  1.00  0.00"
+        "           H\n"
+        "ENDMDL\n"
+        "MODEL        2\n"
+        "HETATM    1  O   HOH A   1       5.000   5.000   5.000  1.00  0.00"
+        "           O\n"
+        "HETATM    2  H1  HOH A   1       5.900   5.000   5.000  1.00  0.00"
+        "           H\n"
+        "ENDMDL\n"
+        "CONECT    1    2\n"
+        "END\n"
+    )
+    data = read_pdb(str(pdb))
+    assert len(data.names) == 2
+    np.testing.assert_allclose(data.positions[0], [1.0, 1.0, 1.0])
+    assert data.conect_bonds() == [(0, 1)]
