@@ -458,7 +458,7 @@ class ADMPPmeForce:
         lpol=False,
         scf_config: SCFConfig | None = None,
         fft_friendly_grid: bool = False,
-        spread_method: str = "scatter",
+        spread_method: str = "auto",
         spread_precision: str | None = None,
         config: EngineConfig | None = None,
     ):

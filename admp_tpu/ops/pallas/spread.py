@@ -227,13 +227,18 @@ def _spread_blocks_fwd(m_u0, q_points, grid_shape, n_slabs=16, interpret=False):
 
 def _spread_blocks_bwd(grid_shape, n_slabs, interpret, m_u0, g_mesh):
     k1, k2, k3 = grid_shape
+    n = m_u0.shape[0]
     offsets = jnp.arange(-3, 3)
     i1 = jnp.mod(m_u0[:, 0:1] + offsets[None], k1)
     i2 = jnp.mod(m_u0[:, 1:2] + offsets[None], k2)
     i3 = jnp.mod(m_u0[:, 2:3] + offsets[None], k3)
-    g_q = g_mesh[
-        i1[:, :, None, None], i2[:, None, :, None], i3[:, None, None, :]
-    ]
+    # flat 1-D gather — the same form as the XLA scatter's AD transpose,
+    # which measures faster than 3-D advanced indexing on TPU
+    flat = (
+        (i1[:, :, None, None] * k2 + i2[:, None, :, None]) * k3
+        + i3[:, None, None, :]
+    ).reshape(-1)
+    g_q = g_mesh.reshape(-1)[flat].reshape(n, 6, 6, 6)
     return None, g_q
 
 

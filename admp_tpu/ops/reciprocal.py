@@ -196,6 +196,29 @@ def spread_weights(u0, dug_dx, lmax: int):
     return jnp.concatenate(outs, axis=-1)
 
 
+def _pallas_spread_eligible(grid_shape, dtype, order: int) -> bool:
+    """'auto' spread-method resolution: the Pallas slab kernel when it can
+    win — TPU backend, float32, order-6 stencil, and a slab accumulator that
+    fits the VMEM budget (the y/z extent is full-grid; only x is slabbed)."""
+    if order != 6 or dtype != jnp.float32:
+        return False
+    try:
+        import jax as _jax
+
+        if _jax.default_backend() != "tpu":
+            return False
+        from admp_tpu.ops.pallas.spread import pallas_spread_available
+
+        if not pallas_spread_available():
+            return False
+    except Exception:
+        return False
+    k1, k2, k3 = grid_shape
+    width = -(-k1 // 16)
+    slab_bytes = (width + 5) * (k2 + 16) * (k3 + 256) * 4
+    return slab_bytes <= 6 * 1024 * 1024
+
+
 # Separable-term derivative multi-indices (d^p/dux^p, d^q/duy^q, d^r/duz^r)
 # for the spread stencil: order 0, the three first derivatives, the six
 # second derivatives (p+q+r <= 2).
@@ -350,9 +373,18 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
     q_points = spread_points_separable(u0, alpha, lmax, order)
     q_points = q_points.astype(work_dtype)
 
+    if method == "auto":
+        method = (
+            "pallas"
+            if _pallas_spread_eligible(grid_shape, q_points.dtype, order)
+            else "scatter"
+        )
     if method == "pallas":
-        # Pallas slab kernel forward + gather adjoint (ops/pallas/spread.py);
-        # measured ~1.6x over the XLA scatter at water_1024 scale on v5e
+        # Pallas slab kernel forward + flat-gather adjoint
+        # (ops/pallas/spread.py); with the separable weight pipeline the
+        # kernel wins end-to-end: spread e+g 14.0 -> 10.2 ms at
+        # water_1024/K=128 (round-2 continuation re-measurement — the
+        # round-1 "neutral" verdict predated the cheap weights)
         from admp_tpu.ops.pallas.spread import spread_blocks
 
         assert order == 6, "pallas spread kernel is order-6 only"
