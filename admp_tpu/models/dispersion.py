@@ -147,6 +147,7 @@ class ADMPDispPmeForce:
             cks, self.kappa, grid,
             static_box=getattr(self, "_static_box", None),
             spread_order=cfg.disp_spread_order,
+            spread_method=cfg.spread_method,
         )
         covalent_map = self.covalent_map
         kappa, pmax = self.kappa, self.pmax

@@ -43,78 +43,99 @@ def pallas_spread_available() -> bool:
     return _PALLAS_OK
 
 
-def _spread_kernel(counts_ref, m_u0_ref, q_ref, out_ref):
-    """One program = one x-slab. Atoms pre-bucketed and padded per slab.
+def _make_spread_kernel(order: int, n_ch: int):
+    """Kernel factory: one program = one x-slab; ``order``-wide stencils and
+    ``n_ch`` channels sharing indices (dispersion spreads C6/C8/C10 on the
+    same B-spline geometry).
 
     counts_ref: (P,) SMEM — real atom count per slab bucket.
     m_u0_ref:   (1, A, 3) VMEM — base indices, x slab-relative.
-    q_ref:      (1, A, 6, 36) VMEM — stencil weights, (y, z) flattened.
-    out_ref:    (1, W+HALO, K2pad, K3pad) VMEM — padded slab accumulator.
+    q_ref:      (1, A, C*order, order^2) VMEM — stencil weights, channel-
+                stacked rows, (y, z) flattened columns.
+    out_ref:    (1, C, W+halo, K2pad, K3pad) VMEM — padded slab accumulators.
 
-    The 6-wide block is placed at its in-window (yo, zo) offset with separable
-    one-hot SELECT placement (static j/l unroll, vectorized compares) — pure
-    VPU work. Mosaic's compile helper crashes on dot_general inside fori_loop,
-    so no MXU placement here.
+    The order-wide block is placed at its in-window (yo, zo) offset with
+    separable one-hot SELECT placement (static j/l unroll, vectorized
+    compares) — pure VPU work. Mosaic's compile helper crashes on
+    dot_general inside fori_loop, so no MXU placement here.
     """
-    out_ref[...] = jnp.zeros_like(out_ref)
-    count = counts_ref[pl.program_id(0)]
-    a_max = m_u0_ref.shape[1]
 
-    y_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _YW, 1), 1)
-    z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _ZW), 2)
+    def kernel(counts_ref, m_u0_ref, q_ref, out_ref):
+        out_ref[...] = jnp.zeros_like(out_ref)
+        count = counts_ref[pl.program_id(0)]
+        a_max = m_u0_ref.shape[1]
 
-    def body(k, _):
-        @pl.when(k < count)
-        def _():
-            x0 = m_u0_ref[0, k, 0]
-            y0 = m_u0_ref[0, k, 1]
-            z0 = m_u0_ref[0, k, 2]
-            yb = (y0 // 8) * 8
-            zb = (z0 // 128) * 128
-            yo = y0 - yb
-            zo = z0 - zb
-            blk = q_ref[0, k]  # (6, 36) rows x, cols j*6+l
-            # z-combine: tmp[j] (6, ZW) = sum_l blk[:, j*6+l] placed at zo+l
-            upd = jnp.zeros((6, _YW, _ZW), blk.dtype)
-            for j in range(6):
-                tmp = jnp.zeros((6, 1, _ZW), blk.dtype)
-                for l in range(6):
-                    sel = (z_iota == zo + l).astype(blk.dtype)  # (1, 1, ZW)
-                    tmp = tmp + blk[:, j * 6 + l][:, None, None] * sel
-                pick = (y_iota == yo + j).astype(blk.dtype)  # (1, YW, 1)
-                upd = upd + tmp * pick
-            yb = pl.multiple_of(yb, 8)
-            zb = pl.multiple_of(zb, 128)
-            cur = out_ref[0, pl.ds(x0, 6), pl.ds(yb, _YW), pl.ds(zb, _ZW)]
-            out_ref[0, pl.ds(x0, 6), pl.ds(yb, _YW), pl.ds(zb, _ZW)] = cur + upd
-        return 0
+        y_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _YW, 1), 1)
+        z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _ZW), 2)
 
-    jax.lax.fori_loop(0, a_max, body, 0)
+        def body(k, _):
+            @pl.when(k < count)
+            def _():
+                x0 = m_u0_ref[0, k, 0]
+                y0 = m_u0_ref[0, k, 1]
+                z0 = m_u0_ref[0, k, 2]
+                yb = (y0 // 8) * 8
+                zb = (z0 // 128) * 128
+                yo = y0 - yb
+                zo = z0 - zb
+                blk = q_ref[0, k]  # (C*order, order^2)
+                # z-combine once per (j, l): the one-hot selects are shared
+                # by all channels (identical geometry)
+                upd = jnp.zeros((n_ch * order, _YW, _ZW), blk.dtype)
+                for j in range(order):
+                    tmp = jnp.zeros((n_ch * order, 1, _ZW), blk.dtype)
+                    for l in range(order):
+                        sel = (z_iota == zo + l).astype(blk.dtype)
+                        tmp = tmp + blk[:, j * order + l][:, None, None] * sel
+                    pick = (y_iota == yo + j).astype(blk.dtype)
+                    upd = upd + tmp * pick
+                yb = pl.multiple_of(yb, 8)
+                zb = pl.multiple_of(zb, 128)
+                for c in range(n_ch):
+                    cur = out_ref[
+                        0, c, pl.ds(x0, order), pl.ds(yb, _YW), pl.ds(zb, _ZW)
+                    ]
+                    out_ref[
+                        0, c, pl.ds(x0, order), pl.ds(yb, _YW), pl.ds(zb, _ZW)
+                    ] = cur + upd[c * order:(c + 1) * order]
+            return 0
+
+        jax.lax.fori_loop(0, a_max, body, 0)
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("grid_shape", "n_slabs", "interpret"))
-def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("grid_shape", "n_slabs", "interpret", "order")
+)
+def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False,
+                        order=6):
+    """q_points: (N, C, order^3) channel-stacked stencil values. Returns
+    ((C, K1, K2, K3) meshes, overflow flag)."""
     k1, k2, k3 = grid_shape
     n = m_u0.shape[0]
+    n_ch = q_points.shape[1]
+    halo = order - 1
+    half = order // 2
     width = -(-k1 // n_slabs)
     k2pad = k2 + _YW
     k3pad = k3 + _ZW
 
-    # base index of the stencil block (offsets are -3..2 relative to m_u0)
+    # base index of the stencil block (offsets are -half..half-1 rel. m_u0)
     base = jnp.stack(
         [
-            jnp.mod(m_u0[:, 0] - 3, k1),
-            jnp.mod(m_u0[:, 1] - 3, k2),
-            jnp.mod(m_u0[:, 2] - 3, k3),
+            jnp.mod(m_u0[:, 0] - half, k1),
+            jnp.mod(m_u0[:, 1] - half, k2),
+            jnp.mod(m_u0[:, 2] - half, k3),
         ],
         axis=-1,
     ).astype(jnp.int32)
 
     slab_id = base[:, 0] // width
-    order = jnp.argsort(slab_id)
-    sorted_ids = slab_id[order]
-    base_s = base[order]
-    q_s = q_points[order].reshape(n, 6, 36)
+    sort_order = jnp.argsort(slab_id)
+    sorted_ids = slab_id[sort_order]
+    base_s = base[sort_order]
+    q_s = q_points[sort_order].reshape(n, n_ch * order, order * order)
 
     starts = jnp.searchsorted(sorted_ids, jnp.arange(n_slabs))
     ends = jnp.searchsorted(sorted_ids, jnp.arange(n_slabs) + 1)
@@ -132,44 +153,49 @@ def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False):
     q_b = q_s[take]
 
     out = pl.pallas_call(
-        _spread_kernel,
+        _make_spread_kernel(order, n_ch),
         grid=(n_slabs,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, cap, 3), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, cap, 6, 36), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM
+                (1, cap, n_ch * order, order * order),
+                lambda p: (p, 0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, width + HALO, k2pad, k3pad),
-            lambda p: (p, 0, 0, 0),
+            (1, n_ch, width + halo, k2pad, k3pad),
+            lambda p: (p, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (n_slabs, width + HALO, k2pad, k3pad), q_points.dtype
+            (n_slabs, n_ch, width + halo, k2pad, k3pad), q_points.dtype
         ),
         interpret=interpret,
     )(counts, m_b, q_b)
 
-    # fold padded slabs back into the periodic (K1, K2, K3) mesh
-    mesh_pad = jnp.zeros((n_slabs * width + HALO, k2pad, k3pad), q_points.dtype)
+    # fold padded slabs back into the periodic (C, K1, K2, K3) meshes
+    mesh_pad = jnp.zeros(
+        (n_ch, n_slabs * width + halo, k2pad, k3pad), q_points.dtype
+    )
     for p in range(n_slabs):
         mesh_pad = jax.lax.dynamic_update_slice(
             mesh_pad,
             jax.lax.dynamic_slice(
-                mesh_pad, (p * width, 0, 0), (width + HALO, k2pad, k3pad)
+                mesh_pad, (0, p * width, 0, 0),
+                (n_ch, width + halo, k2pad, k3pad),
             )
             + out[p],
-            (p * width, 0, 0),
+            (0, p * width, 0, 0),
         )
     # x wrap (slabs may extend past k1)
-    extra = mesh_pad.shape[0] - k1
-    mesh = mesh_pad[:k1]
-    mesh = mesh.at[:extra].add(mesh_pad[k1:])
+    extra = mesh_pad.shape[1] - k1
+    mesh = mesh_pad[:, :k1]
+    mesh = mesh.at[:, :extra].add(mesh_pad[:, k1:])
     # y, z wraps
-    mesh = mesh.at[:, : _YW, :].add(mesh[:, k2:, :])[:, :k2, :]
-    mesh = mesh.at[:, :, : _ZW].add(mesh[:, :, k3:])[:, :, :k3]
+    mesh = mesh.at[:, :, : _YW, :].add(mesh[:, :, k2:, :])[:, :, :k2, :]
+    mesh = mesh.at[:, :, :, : _ZW].add(mesh[:, :, :, k3:])[:, :, :, :k3]
     return mesh, overflow
 
 
@@ -181,9 +207,12 @@ def spread_to_mesh_pallas(m_u0, q_points, grid_shape, n_slabs=16, interpret=Fals
     Returns (mesh, overflow_flag) — on overflow (a slab bucket denser than the
     2.5x-mean static capacity) callers must fall back to the XLA scatter.
     """
-    return _pallas_spread_impl(
-        m_u0, q_points, tuple(int(k) for k in grid_shape), int(n_slabs), interpret
+    n = q_points.shape[0]
+    mesh, overflow = _pallas_spread_impl(
+        m_u0, q_points.reshape(n, 1, 216),
+        tuple(int(k) for k in grid_shape), int(n_slabs), interpret,
     )
+    return mesh[0], overflow
 
 
 # ---------------------------------------------------------------------------
@@ -208,16 +237,17 @@ def _xla_scatter(m_u0, q_points, grid_shape):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def spread_blocks(m_u0, q_points, grid_shape, n_slabs=16, interpret=False):
     """Differentiable block spread: Pallas slab kernel forward (with automatic
-    fallback to the XLA scatter if a slab bucket overflows), block-gather
+    fallback to the XLA scatter if a slab bucket overflows), flat-gather
     adjoint. Same contract as the XLA scatter path. ``interpret=True`` runs the
     kernel in the Pallas interpreter (CPU testing)."""
+    n = q_points.shape[0]
     mesh, overflow = _pallas_spread_impl(
-        m_u0, q_points, grid_shape, n_slabs, interpret
+        m_u0, q_points.reshape(n, 1, 216), grid_shape, n_slabs, interpret
     )
     return jax.lax.cond(
         overflow,
         lambda: _xla_scatter(m_u0, q_points, grid_shape),
-        lambda: mesh,
+        lambda: mesh[0],
     )
 
 
@@ -225,21 +255,84 @@ def _spread_blocks_fwd(m_u0, q_points, grid_shape, n_slabs=16, interpret=False):
     return spread_blocks(m_u0, q_points, grid_shape, n_slabs, interpret), m_u0
 
 
-def _spread_blocks_bwd(grid_shape, n_slabs, interpret, m_u0, g_mesh):
+def _flat_stencil_indices(m_u0, grid_shape, order):
     k1, k2, k3 = grid_shape
-    n = m_u0.shape[0]
-    offsets = jnp.arange(-3, 3)
+    offsets = jnp.arange(-(order // 2), order // 2)
     i1 = jnp.mod(m_u0[:, 0:1] + offsets[None], k1)
     i2 = jnp.mod(m_u0[:, 1:2] + offsets[None], k2)
     i3 = jnp.mod(m_u0[:, 2:3] + offsets[None], k3)
-    # flat 1-D gather — the same form as the XLA scatter's AD transpose,
-    # which measures faster than 3-D advanced indexing on TPU
-    flat = (
+    return (
         (i1[:, :, None, None] * k2 + i2[:, None, :, None]) * k3
         + i3[:, None, None, :]
     ).reshape(-1)
+
+
+def _spread_blocks_bwd(grid_shape, n_slabs, interpret, m_u0, g_mesh):
+    # flat 1-D gather — the same form as the XLA scatter's AD transpose,
+    # which measures faster than 3-D advanced indexing on TPU
+    n = m_u0.shape[0]
+    flat = _flat_stencil_indices(m_u0, grid_shape, 6)
     g_q = g_mesh.reshape(-1)[flat].reshape(n, 6, 6, 6)
     return None, g_q
 
 
 spread_blocks.defvjp(_spread_blocks_fwd, _spread_blocks_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Multi-channel variant (dispersion: C6/C8/C10 share the stencil geometry)
+# ---------------------------------------------------------------------------
+
+
+def _xla_scatter_multi(m_u0, q_points, grid_shape, order):
+    k1, k2, k3 = grid_shape
+    n, n_ch = q_points.shape[:2]
+    flat = _flat_stencil_indices(m_u0, grid_shape, order)
+    kcube = k1 * k2 * k3
+    all_idx = (
+        flat.reshape(1, n, order ** 3)
+        + (jnp.arange(n_ch) * kcube)[:, None, None]
+    )
+    vals = jnp.swapaxes(q_points, 0, 1)  # (C, N, order^3)
+    mesh = jnp.zeros((n_ch * kcube,), q_points.dtype)
+    mesh = mesh.at[all_idx.reshape(-1)].add(vals.reshape(-1))
+    return mesh.reshape(n_ch, k1, k2, k3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def spread_blocks_multi(m_u0, q_points, grid_shape, order, n_slabs=16,
+                        interpret=False):
+    """Multi-channel differentiable block spread: ``q_points`` is
+    (N, C, order^3); returns (C, K1, K2, K3). Pallas slab kernel forward
+    (XLA multi-channel scatter fallback on bucket overflow), flat-gather
+    adjoint."""
+    mesh, overflow = _pallas_spread_impl(
+        m_u0, q_points, grid_shape, n_slabs, interpret, order
+    )
+    return jax.lax.cond(
+        overflow,
+        lambda: _xla_scatter_multi(m_u0, q_points, grid_shape, order),
+        lambda: mesh,
+    )
+
+
+def _spread_blocks_multi_fwd(m_u0, q_points, grid_shape, order, n_slabs=16,
+                             interpret=False):
+    out = spread_blocks_multi(m_u0, q_points, grid_shape, order, n_slabs,
+                              interpret)
+    return out, m_u0
+
+
+def _spread_blocks_multi_bwd(grid_shape, order, n_slabs, interpret, m_u0,
+                             g_mesh):
+    n = m_u0.shape[0]
+    n_ch = g_mesh.shape[0]
+    flat = _flat_stencil_indices(m_u0, grid_shape, order)
+    g_flat = g_mesh.reshape(n_ch, -1)
+    g_q = jnp.stack(
+        [g_flat[c][flat].reshape(n, order ** 3) for c in range(n_ch)], axis=1
+    )
+    return None, g_q
+
+
+spread_blocks_multi.defvjp(_spread_blocks_multi_fwd, _spread_blocks_multi_bwd)

@@ -196,27 +196,34 @@ def spread_weights(u0, dug_dx, lmax: int):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _pallas_spread_eligible(grid_shape, dtype, order: int) -> bool:
-    """'auto' spread-method resolution: the Pallas slab kernel when it can
-    win — TPU backend, float32, order-6 stencil, and a slab accumulator that
-    fits the VMEM budget (the y/z extent is full-grid; only x is slabbed)."""
-    if order != 6 or dtype != jnp.float32:
-        return False
+def _pallas_spread_slabs(grid_shape, dtype, order: int, n_ch: int = 1):
+    """'auto' spread-method resolution: the slab count for the Pallas kernel
+    when it can win — TPU backend, float32, and a slab accumulator that fits
+    the VMEM budget (the y/z extent is full-grid; only x is slabbed, so
+    larger grids use more, narrower slabs). Returns None when the XLA
+    scatter should be used instead."""
+    if dtype != jnp.float32:
+        return None
     try:
         import jax as _jax
 
         if _jax.default_backend() != "tpu":
-            return False
+            return None
         from admp_tpu.ops.pallas.spread import pallas_spread_available
 
         if not pallas_spread_available():
-            return False
+            return None
     except Exception:
-        return False
+        return None
     k1, k2, k3 = grid_shape
-    width = -(-k1 // 16)
-    slab_bytes = (width + 5) * (k2 + 16) * (k3 + 256) * 4
-    return slab_bytes <= 6 * 1024 * 1024
+    for n_slabs in (16, 32, 64):
+        width = -(-k1 // n_slabs)
+        slab_bytes = (
+            n_ch * (width + order - 1) * (k2 + 16) * (k3 + 256) * 4
+        )
+        if slab_bytes <= 6 * 1024 * 1024:
+            return n_slabs
+    return None
 
 
 # Separable-term derivative multi-indices (d^p/dux^p, d^q/duy^q, d^r/duz^r)
@@ -373,12 +380,11 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
     q_points = spread_points_separable(u0, alpha, lmax, order)
     q_points = q_points.astype(work_dtype)
 
+    n_slabs = 16
     if method == "auto":
-        method = (
-            "pallas"
-            if _pallas_spread_eligible(grid_shape, q_points.dtype, order)
-            else "scatter"
-        )
+        picked = _pallas_spread_slabs(grid_shape, q_points.dtype, order)
+        method = "pallas" if (picked is not None and order == 6) else "scatter"
+        n_slabs = picked or 16
     if method == "pallas":
         # Pallas slab kernel forward + flat-gather adjoint
         # (ops/pallas/spread.py); with the separable weight pipeline the
@@ -388,7 +394,7 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
         from admp_tpu.ops.pallas.spread import spread_blocks
 
         assert order == 6, "pallas spread kernel is order-6 only"
-        return spread_blocks(m_u0, q_points, grid_shape, 16, interpret)
+        return spread_blocks(m_u0, q_points, grid_shape, n_slabs, interpret)
 
     offsets = jnp.arange(-(order // 2), order // 2)
     idx1 = jnp.mod(m_u0[:, 0:1] + offsets[None, :], k1)  # (N,order)
@@ -404,7 +410,8 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
     return mesh.at[flat].add(q_points.reshape(-1)).reshape(k1, k2, k3)
 
 
-def spread_to_mesh_multi(positions, box, coeffs, grid_shape, order: int = 6):
+def spread_to_mesh_multi(positions, box, coeffs, grid_shape, order: int = 6,
+                         method: str = "scatter", interpret: bool = False):
     """Spread C independent scalar (lmax=0) channels in one pass.
 
     The dispersion PME needs three charge grids (C6, C8, C10 coefficients,
@@ -432,6 +439,24 @@ def spread_to_mesh_multi(positions, box, coeffs, grid_shape, order: int = 6):
     # wide at every materialization point
     txy = (m[:, :, None, 0] * m[:, None, :, 1]).reshape(n, order * order)
     theta = (txy[:, :, None] * m[:, None, :, 2]).reshape(n, order ** 3)
+
+    if method == "auto":
+        picked = _pallas_spread_slabs(
+            grid_shape, theta.dtype, order, coeffs.shape[-1]
+        )
+        method = "pallas" if picked is not None else "scatter"
+        n_slabs = picked or 16
+    else:
+        n_slabs = 16
+    if method == "pallas":
+        # channel-stacked slab kernel: C6/C8/C10 share the stencil geometry,
+        # one kernel pass accumulates all channels (ops/pallas/spread.py)
+        from admp_tpu.ops.pallas.spread import spread_blocks_multi
+
+        q_blocks = theta[:, None, :] * coeffs[:, :, None]  # (N, C, order^3)
+        return spread_blocks_multi(
+            m_u0, q_blocks, grid_shape, order, n_slabs, interpret
+        )
 
     offsets = jnp.arange(-(order // 2), order // 2)
     idx1 = jnp.mod(m_u0[:, 0:1] + offsets[None, :], k1)
@@ -477,7 +502,7 @@ def convolve_energy_multi(meshes, box, kappa, ck_fns, include_gamma, prefactor=1
 
 
 def make_disp_pme_recip(ck_fns, kappa, grid_shape, static_box=None,
-                        spread_order: int = 6):
+                        spread_order: int = 6, spread_method: str = "auto"):
     """Multi-channel dispersion reciprocal engine: one spread, one batched FFT
     for all C6/C8/C10 grids (3x fewer scatter and FFT passes than the
     per-channel pipeline the reference uses, admp/disp_pme.py:61-77).
@@ -511,7 +536,8 @@ def make_disp_pme_recip(ck_fns, kappa, grid_shape, static_box=None,
 
     def disp_recip(positions, box, c_list):
         meshes = spread_to_mesh_multi(
-            positions, box, c_list[:, : len(ck_fns)], grid_shape, spread_order
+            positions, box, c_list[:, : len(ck_fns)], grid_shape, spread_order,
+            spread_method,
         )
         if cached is not None:
             weights, gammas = cached
