@@ -56,3 +56,44 @@ def test_spread_blocks_custom_vjp_matches_scatter():
         )
     )(pos)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), atol=2e-5)
+
+
+def test_multi_channel_spread_matches_scatter_interpret():
+    """Channel-stacked slab kernel (dispersion C6/C8/C10) == the XLA
+    multi-channel scatter, values and position-gradients, for both stencil
+    orders (interpreter mode on CPU)."""
+    import jax
+    import numpy as np
+
+    from admp_tpu.ops import reciprocal as R
+
+    rng = np.random.default_rng(0)
+    n = 200
+    box = jnp.eye(3) * 12.0
+    pos = jnp.asarray(rng.uniform(0, 12.0, (n, 3)), jnp.float32)
+    coeffs = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+    grid = (24, 24, 24)
+    for order in (4, 6):
+        ref = R.spread_to_mesh_multi(pos, box, coeffs, grid, order)
+        got = R.spread_to_mesh_multi(
+            pos, box, coeffs, grid, order, method="pallas", interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5
+        )
+        g_ref = jax.grad(
+            lambda p: jnp.sum(
+                R.spread_to_mesh_multi(p, box, coeffs, grid, order) ** 2
+            )
+        )(pos)
+        g_got = jax.grad(
+            lambda p: jnp.sum(
+                R.spread_to_mesh_multi(
+                    p, box, coeffs, grid, order, method="pallas",
+                    interpret=True,
+                ) ** 2
+            )
+        )(pos)
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), atol=1e-4
+        )
