@@ -33,7 +33,16 @@ from admp_tpu.ops.shortrange import (
     generate_pairwise_interaction,
     tt_damping_qq_c6_kernel,
 )
-from admp_tpu.settings import SCFConfig
+from admp_tpu.md import (
+    BAR_TO_KJMOL_A3,
+    MDState,
+    make_langevin_step,
+    make_mc_barostat,
+    make_nve_step,
+    run_langevin,
+    run_nve,
+)
+from admp_tpu.settings import EngineConfig, SCFConfig
 from admp_tpu.utils.constants import DIELECTRIC
 
 # Reference-compatible alias (admp/pairwise.py:94)
@@ -44,8 +53,16 @@ __version__ = "0.1.0"
 __all__ = [
     "ADMPDispPmeForce",
     "ADMPPmeForce",
+    "BAR_TO_KJMOL_A3",
     "DIELECTRIC",
+    "EngineConfig",
+    "MDState",
     "SCFConfig",
+    "make_langevin_step",
+    "make_mc_barostat",
+    "make_nve_step",
+    "run_langevin",
+    "run_nve",
     "TT_damping_qq_c6_kernel",
     "convert_cart2harm",
     "convert_harm2cart",

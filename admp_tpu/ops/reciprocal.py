@@ -216,6 +216,11 @@ def _pallas_spread_slabs(grid_shape, dtype, order: int, n_ch: int = 1):
     except Exception:
         return None
     k1, k2, k3 = grid_shape
+    if k2 % 2 or k3 % 2:
+        # odd grids measured pathological in the kernel (dispersion K=129:
+        # 26.4 ms vs 13.7 scatter / 10.9 at K=128 — unaligned tiling of the
+        # padded slab); even grids (96/128/154) all win
+        return None
     for n_slabs in (16, 32, 64):
         width = -(-k1 // n_slabs)
         slab_bytes = (

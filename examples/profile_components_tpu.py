@@ -60,6 +60,7 @@ def main():
                             cache_influence=True),
     )
     disp.kappa = KAPPA
+    disp.K1 = disp.K2 = disp.K3 = 128  # bench grid (even; see ROADMAP odd-K note)
     disp.refresh_calculators()
     tt = generate_pairwise_interaction(tt_damping_qq_c6_kernel, s.covalent_map)
 
@@ -145,7 +146,7 @@ def main():
         timeit("electro recip e+g (incl frames)", recip_energy)
     timeit("electro PME total e+g",
            lambda p: pme.get_energy(p, box, pairs, q_local, m_scales))
-    timeit("dispersion PME e+g (order4 K=129)",
+    timeit("dispersion PME e+g (order4 K=128)",
            lambda p: disp.get_energy(p, box, pairs, c_j, m_scales))
     timeit("TT short range e+g",
            lambda p: tt(p, box, pairs, m_scales, a_j, b_j, qt_j, c_j[:, 0]))
