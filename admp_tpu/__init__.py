@@ -23,6 +23,7 @@ from admp_tpu.ops.harmonics import (
 from admp_tpu.ops.neighborlist import (
     neighbor_list_cell,
     neighbor_list_dense,
+    refresh_neighbor_list,
     update_neighbor_list,
 )
 from admp_tpu.ops.shortrange import (
@@ -71,6 +72,7 @@ __all__ = [
     "generate_pairwise_interaction",
     "neighbor_list_cell",
     "neighbor_list_dense",
+    "refresh_neighbor_list",
     "rot_global2local",
     "rot_local2global",
     "setup_ewald_parameters",

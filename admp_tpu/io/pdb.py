@@ -36,7 +36,9 @@ class PDBData:
         bonds so non-template connectivity (ligands, cross-links) carries
         exclusion scaling.
         """
-        idx_by_serial = {s: k for k, s in enumerate(self.file_serials)}
+        idx_by_serial = {
+            s: k for k, s in enumerate(self.file_serials) if s is not None
+        }
         out = set()
         for s_a, partners in self.connects.items():
             ia = idx_by_serial.get(s_a)
@@ -104,9 +106,12 @@ def read_pdb(path: str) -> PDBData:
                 trans[row] = float(line[45:55])
             elif rec in ("ATOM  ", "HETATM") and reading_atoms:
                 serial_field = line[6:11].strip()
+                # non-numeric serials (hybrid-36, '*****' overflow past 99999)
+                # become a None sentinel excluded from CONECT resolution — a
+                # guessed fallback number could alias a genuine serial
+                # elsewhere in the file and silently rebond the wrong atoms
                 file_serials.append(
-                    int(serial_field) if serial_field.isdigit()
-                    else len(file_serials) + 1
+                    int(serial_field) if serial_field.isdigit() else None
                 )
                 names.append(line[12:16].strip())
                 res_names.append(line[17:21].strip())

@@ -168,7 +168,11 @@ def make_mc_barostat(energy_fn, molecules, pressure, temperature,
     Args:
       molecules: (N,) int molecule id per atom (contiguous ids 0..M-1).
     Returns:
-      step(positions, box, key) -> (positions', box', accepted, energy').
+      step(positions, box, key, *energy_args) -> (positions', box', accepted,
+      energy'). Extra positional args are passed through to ``energy_fn``
+      untraced-shape-stable — e.g. a fixed-capacity neighbor pair list that
+      the caller refreshes between segments (volume moves rescale centers, so
+      a list built once eventually exceeds its skin).
     """
     k_b = 0.00831446261815324
     molecules = jnp.asarray(molecules)
@@ -183,7 +187,7 @@ def make_mc_barostat(energy_fn, molecules, pressure, temperature,
         )
         return positions + (factor - 1.0) * com[molecules]
 
-    def step(positions, box, key):
+    def step(positions, box, key, *energy_args):
         k1, k2 = jax.random.split(key)
         v_old = jnp.abs(jnp.linalg.det(box))
         dlnv = max_dlnv * jax.random.uniform(k1, minval=-1.0, maxval=1.0)
@@ -192,8 +196,8 @@ def make_mc_barostat(energy_fn, molecules, pressure, temperature,
         pos_new = com_scale(positions, factor)
         box_new = box * factor
 
-        e_old = energy_fn(positions, box)
-        e_new = energy_fn(pos_new, box_new)
+        e_old = energy_fn(positions, box, *energy_args)
+        e_new = energy_fn(pos_new, box_new, *energy_args)
         # ln-volume move weight: (n_mol + 1) kT ln(V'/V)
         arg = -beta * (
             e_new - e_old + pressure * (v_new - v_old)

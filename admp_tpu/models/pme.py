@@ -175,25 +175,11 @@ def pme_real_uu_energy(
     #   e = (m0 - m1) (uj.zhat)(ui.zhat) + m1 (ui.uj)
     # — no quasi-internal frame build at all. Component (SoA) pipeline
     # throughout: (C,)-flat intermediates only (this is the PCG matvec, run
-    # every SCF iteration and every implicit-adjoint iteration).
-    p_i, p_j = positions[i], positions[j]
-    xi, yi, zi = p_i[:, 0], p_i[:, 1], p_i[:, 2]
-    xj, yj, zj = p_j[:, 0], p_j[:, 1], p_j[:, 2]
-    dx, dy, dz = xi - xj, yi - yj, zi - zj
-    binv = inv3x3(box)
-    sa = dx * binv[0, 0] + dy * binv[1, 0] + dz * binv[2, 0]
-    sb = dx * binv[0, 1] + dy * binv[1, 1] + dz * binv[2, 1]
-    sc = dx * binv[0, 2] + dy * binv[1, 2] + dz * binv[2, 2]
-    sa = sa - jnp.floor(sa + 0.5)
-    sb = sb - jnp.floor(sb + 0.5)
-    sc = sc - jnp.floor(sc + 0.5)
-    dx = sa * box[0, 0] + sb * box[1, 0] + sc * box[2, 0]
-    dy = sa * box[0, 1] + sb * box[1, 1] + sc * box[2, 1]
-    dz = sa * box[0, 2] + sb * box[1, 2] + sc * box[2, 2]
-    sq = dx * dx + dy * dy + dz * dz
-    sq_safe = jnp.where(mask, sq, 1.0)
-    r = jnp.where(mask, jnp.sqrt(sq_safe), jnp.ones_like(sq))
-    rinv = 1.0 / r
+    # every SCF iteration and every implicit-adjoint iteration); the wrap/norm
+    # geometry is the same helper the main QI pipeline uses.
+    dx, dy, dz, r, rinv, _, _ = realspace.pair_displacement_components(
+        positions, box, i, j, mask
+    )
 
     # u in harmonic (z, x, y) order -> cartesian components
     ug_i, ug_j = u_ind_harm[i], u_ind_harm[j]
@@ -311,9 +297,9 @@ def energy_pme(
     # relative force RMSE; the f32 kernel's own distributed rounding is ~2e-6,
     # so this is the mode that actually reaches the <1e-6 north star).
     all64 = config.realspace_precision == "f64-all"
-    high_real = (
-        config.realspace_precision == "f64" and excl_pairs is not None
-    ) or all64
+    excl64 = config.realspace_precision == "f64" and excl_pairs is not None
+    near64 = config.realspace_precision == "f64-near"
+    high_real = all64 or excl64 or near64
     # In high-accuracy mode the O(N) stages — frame construction, the
     # local->global multipole rotation, and the self energy — run in float64:
     # the f32 rounding of the rotated multipoles feeds the ~1e6-magnitude
@@ -384,10 +370,10 @@ def energy_pme(
             lmax_eff,
             lpol,
             pair_chunk,
-            exclude_topological=high_real,
+            exclude_topological=excl64,
             compensated=compensated,
         )
-    if high_real and not all64:
+    if excl64:
         e_excl = pme_real_energy(
             positions.astype(f64),
             box.astype(f64),
@@ -406,6 +392,60 @@ def energy_pme(
             compensated=False,
         )
         e_real = e_real.astype(f64) + e_excl
+    if near64:
+        # float64 delta correction of the close pairs: compact pairs with
+        # r < realspace_near_radius (they carry the largest per-pair force
+        # magnitudes, hence the bulk of the f32 rounding mass), re-evaluate
+        # the identical kernel at f32 AND f64 on the compacted list, and add
+        # (e64 - e32). The f32 sub-expression reproduces the main pass's
+        # values bitwise (same elementwise graph on the same inputs), so its
+        # rounding — forward and backward — cancels exactly; no pair is
+        # double-counted and no main-pass masking is needed. Bin overflow
+        # NaN-poisons the energy (loud) — raise realspace_near_frac.
+        import numpy as _np
+
+        cap_total = pairs.shape[0]
+        n_atoms = positions.shape[0]
+        raw_i, raw_j = pairs[..., 0], pairs[..., 1]
+        pmask = raw_i < raw_j
+        ii = jnp.minimum(raw_i, n_atoms - 1)
+        jj = jnp.minimum(raw_j, n_atoms - 1)
+        _, _, _, r_all, _, _, _ = realspace.pair_displacement_components(
+            positions, box, ii, jj, pmask
+        )
+        sel = pmask & (r_all < config.realspace_near_radius)
+        near_cap = int(_np.ceil(cap_total * config.realspace_near_frac))
+        near_cap = min(max(near_cap, 128), cap_total)
+        idx = jnp.nonzero(sel, size=near_cap, fill_value=cap_total)[0]
+        overflowed = jnp.sum(sel) > near_cap
+        near_pairs = jnp.where(
+            (idx < cap_total)[:, None],
+            pairs[jnp.minimum(idx, cap_total - 1)],
+            n_atoms,
+        ).astype(pairs.dtype)
+
+        def near_pass(dtype):
+            return pme_real_energy(
+                positions.astype(dtype),
+                box.astype(dtype),
+                near_pairs,
+                q_global.astype(dtype),
+                None if u_harm is None else u_harm.astype(dtype),
+                None if pol is None else pol.astype(dtype),
+                None if tholes is None else tholes.astype(dtype),
+                m_scales.astype(dtype),
+                None if p_scales is None else p_scales.astype(dtype),
+                covalent_map,
+                kappa,
+                lmax_eff,
+                lpol,
+                None,
+                compensated=False,
+            )
+
+        delta = near_pass(f64) - near_pass(work_dtype).astype(f64)
+        delta = jnp.where(overflowed, jnp.nan, delta)
+        e_real = e_real.astype(f64) + delta
     recip_f64 = config.recip_precision in ("f64", "f64-dft")
     if lpol and lmax == 0:
         # the recip engine was built for lmax=0 (charge-only spreading) but
@@ -488,6 +528,10 @@ class ADMPPmeForce:
             kappa, k1, k2, k3 = setup_ewald_parameters_fft(rc, ethresh, box)
         else:
             kappa, k1, k2, k3 = setup_ewald_parameters(rc, ethresh, box)
+        if config.recip_precision == "ds":
+            # the DS engine's radix-2 FFT needs power-of-two grids; round the
+            # heuristic UP (never loses accuracy class)
+            k1, k2, k3 = (1 << (int(k) - 1).bit_length() for k in (k1, k2, k3))
         self.kappa = kappa
         self.K1, self.K2, self.K3 = k1, k2, k3
         self.pme_order = 6

@@ -106,6 +106,39 @@ def update_neighbor_list(nlist: NeighborList, positions, box):
     return NeighborList(pairs, overflow, nlist.capacity, nlist.cutoff)
 
 
+def refresh_neighbor_list(nlist: NeighborList, positions, box):
+    """Host-side refresh of any NeighborList (dense- or cell-strategy) that
+    never hands back a silently-truncated list.
+
+    Fast path: rebuild pairs at the stored fixed capacity (compiled once per
+    shape). Falls back to a full re-allocation when the capacity overflows or
+    — for cell lists — when the box changed enough that the stored cell grid
+    no longer satisfies the cutoff (NPT volume moves). Intended cadence: once
+    per MD segment / after each accepted barostat move; inside a jitted scan
+    use update_neighbor_list / _cell_pairs directly and check did_overflow.
+    """
+    positions = jnp.asarray(positions)
+    box = jnp.asarray(box)
+    n_cells = getattr(nlist, "n_cells", None)
+    if n_cells is not None:
+        if tuple(_cell_grid(box, nlist.cutoff)) != tuple(n_cells):
+            return neighbor_list_cell(positions, box, nlist.cutoff)
+        pairs, overflow = _cell_pairs(
+            positions, box, nlist.cutoff, n_cells, nlist.cell_capacity,
+            nlist.capacity,
+        )
+        if bool(overflow):
+            return neighbor_list_cell(positions, box, nlist.cutoff)
+        nl = NeighborList(pairs, overflow, nlist.capacity, nlist.cutoff)
+        nl.n_cells = n_cells  # type: ignore[attr-defined]
+        nl.cell_capacity = nlist.cell_capacity  # type: ignore[attr-defined]
+        return nl
+    nl = update_neighbor_list(nlist, positions, box)
+    if bool(nl.did_overflow):
+        return neighbor_list_dense(positions, box, nlist.cutoff)
+    return nl
+
+
 # ---------------------------------------------------------------------------
 # Cell-list strategy for large systems
 # ---------------------------------------------------------------------------

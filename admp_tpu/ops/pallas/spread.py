@@ -137,19 +137,23 @@ def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False,
     base_s = base[sort_order]
     q_s = q_points[sort_order].reshape(n, n_ch * order, order * order)
 
-    starts = jnp.searchsorted(sorted_ids, jnp.arange(n_slabs))
-    ends = jnp.searchsorted(sorted_ids, jnp.arange(n_slabs) + 1)
-    counts = (ends - starts).astype(jnp.int32)
+    # int32 index arithmetic throughout: under jax_enable_x64 a bare arange is
+    # int64 and scatter-adding it into the int32 base indices is a JAX
+    # FutureWarning on its way to a hard error (ADVICE round 2)
+    slab_iota = jnp.arange(n_slabs, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_ids, slab_iota).astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_ids, slab_iota + 1).astype(jnp.int32)
+    counts = ends - starts
     # static per-slab capacity: 2.5x the mean, bounded by n. Keeping it small
     # matters: Pallas double-buffers VMEM inputs, and the slab accumulator is
     # already several MB. Overflow is reported to the caller.
     cap = min(n, int(np.ceil(n / n_slabs * 2.5)) + 32)
     overflow = jnp.any(counts > cap)
 
-    take = starts[:, None] + jnp.arange(cap)[None, :]
+    take = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
     take = jnp.minimum(take, n - 1)
     m_b = base_s[take]
-    m_b = m_b.at[..., 0].add(-(jnp.arange(n_slabs) * width)[:, None])
+    m_b = m_b.at[..., 0].add(-(slab_iota * width)[:, None])
     q_b = q_s[take]
 
     out = pl.pallas_call(

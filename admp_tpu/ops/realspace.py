@@ -40,6 +40,39 @@ def _comp(q, k):
     return q[..., k]
 
 
+def pair_displacement_components(positions, box, i, j, mask):
+    """Minimum-image pair displacements + sanitized norms, component (SoA)
+    form.
+
+    The shared geometry front of every pair pipeline (the full QI kernel
+    below AND the SCF uu matvec in models/pme.py): one AoS position gather
+    per site, fractional-coordinate wrap (ops/pbc.pbc_shift math), masked
+    norm with fill = 1 so padding pairs stay finite.
+
+    Returns (dx, dy, dz, r, rinv, p_i, p_j) — all (C,) except the gathered
+    (C, 3) positions, which callers needing raw coordinates (QI degeneracy
+    seed) reuse without a second gather.
+    """
+    p_i, p_j = positions[i], positions[j]
+    dx = p_i[:, 0] - p_j[:, 0]
+    dy = p_i[:, 1] - p_j[:, 1]
+    dz = p_i[:, 2] - p_j[:, 2]
+    binv = inv3x3(box)
+    sa = dx * binv[0, 0] + dy * binv[1, 0] + dz * binv[2, 0]
+    sb = dx * binv[0, 1] + dy * binv[1, 1] + dz * binv[2, 1]
+    sc = dx * binv[0, 2] + dy * binv[1, 2] + dz * binv[2, 2]
+    sa = sa - jnp.floor(sa + 0.5)
+    sb = sb - jnp.floor(sb + 0.5)
+    sc = sc - jnp.floor(sc + 0.5)
+    dx = sa * box[0, 0] + sb * box[1, 0] + sc * box[2, 0]
+    dy = sa * box[0, 1] + sb * box[1, 1] + sc * box[2, 1]
+    dz = sa * box[0, 2] + sb * box[1, 2] + sc * box[2, 2]
+    sq = dx * dx + dy * dy + dz * dz
+    sq_safe = jnp.where(mask, sq, 1.0)
+    r = jnp.where(mask, jnp.sqrt(sq_safe), jnp.ones_like(sq))
+    return dx, dy, dz, r, 1.0 / r, p_i, p_j
+
+
 def qi_pair_components(positions, box, q_comps, i, j, mask, lmax: int,
                        u_comps=None):
     """Pair geometry + quasi-internal-frame rotation, entirely in component
@@ -63,32 +96,17 @@ def qi_pair_components(positions, box, q_comps, i, j, mask, lmax: int,
       (r, qi_i, qi_j, ui, uj): r (C,) sanitized distances; qi_* component
       tuples in the QI frame; ui/uj component triples or None.
     """
-    # one AoS gather per site (TPU gathers fetch a padded row per index, so
-    # a single (C, 3) gather beats three 1-D gathers), then immediately
-    # unpack to (C,) components for the scalar pipeline
-    p_i, p_j = positions[i], positions[j]
-    xi, yi, zi = p_i[:, 0], p_i[:, 1], p_i[:, 2]
-    xj, yj, zj = p_j[:, 0], p_j[:, 1], p_j[:, 2]
-    dx, dy, dz = xi - xj, yi - yj, zi - zj
-    binv = inv3x3(box)
-    # minimum-image wrap in fractional coordinates (ops/pbc.pbc_shift)
-    sa = dx * binv[0, 0] + dy * binv[1, 0] + dz * binv[2, 0]
-    sb = dx * binv[0, 1] + dy * binv[1, 1] + dz * binv[2, 1]
-    sc = dx * binv[0, 2] + dy * binv[1, 2] + dz * binv[2, 2]
-    sa = sa - jnp.floor(sa + 0.5)
-    sb = sb - jnp.floor(sb + 0.5)
-    sc = sc - jnp.floor(sc + 0.5)
-    dx = sa * box[0, 0] + sb * box[1, 0] + sc * box[2, 0]
-    dy = sa * box[0, 1] + sb * box[1, 1] + sc * box[2, 1]
-    dz = sa * box[0, 2] + sb * box[1, 2] + sc * box[2, 2]
-    # masked norm (utils/safety.masked_norm, fill = 1)
-    sq = dx * dx + dy * dy + dz * dz
-    sq_safe = jnp.where(mask, sq, 1.0)
-    r = jnp.where(mask, jnp.sqrt(sq_safe), jnp.ones_like(sq))
+    # shared geometry front (one AoS gather per site — TPU gathers fetch a
+    # padded row per index, so a single (C, 3) gather beats three 1-D
+    # gathers — then (C,) components throughout)
+    dx, dy, dz, r, rinv, p_i, p_j = pair_displacement_components(
+        positions, box, i, j, mask
+    )
+    yi, zi = p_i[:, 1], p_i[:, 2]
+    yj, zj = p_j[:, 1], p_j[:, 2]
 
     # quasi-internal frame (ops/frames.build_quasi_internal): z along dr,
     # x from a degeneracy-aware seed orthogonalized against z
-    rinv = 1.0 / r
     fzx, fzy, fzz = dx * rinv, dy * rinv, dz * rinv
     degenerate = jnp.logical_and(yi == yj, zi == zj)
     one = jnp.ones_like(r)

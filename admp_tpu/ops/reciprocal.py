@@ -196,12 +196,19 @@ def spread_weights(u0, dug_dx, lmax: int):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _pallas_spread_slabs(grid_shape, dtype, order: int, n_ch: int = 1):
+def _pallas_spread_slabs(grid_shape, dtype, order: int, n_ch: int = 1,
+                         n_atoms: int | None = None):
     """'auto' spread-method resolution: the slab count for the Pallas kernel
-    when it can win — TPU backend, float32, and a slab accumulator that fits
-    the VMEM budget (the y/z extent is full-grid; only x is slabbed, so
-    larger grids use more, narrower slabs). Returns None when the XLA
-    scatter should be used instead."""
+    when it can win — TPU backend, float32, and a VMEM footprint that fits the
+    budget (the y/z extent is full-grid; only x is slabbed, so larger grids
+    use more, narrower slabs). Returns None when the XLA scatter should be
+    used instead.
+
+    The footprint counts BOTH the slab accumulator (multi-buffered by Mosaic:
+    x2) and the per-slab atom input block — cap = min(N, 2.5 N / n_slabs + 32)
+    rows of (n_ch * order, order^2) stencil weights, double-buffered (x2).
+    The input side scales with N, so large-N workloads (98k atoms) are
+    ineligible even when the slab itself fits (ADVICE round 2)."""
     if dtype != jnp.float32:
         return None
     try:
@@ -226,7 +233,14 @@ def _pallas_spread_slabs(grid_shape, dtype, order: int, n_ch: int = 1):
         slab_bytes = (
             n_ch * (width + order - 1) * (k2 + 16) * (k3 + 256) * 4
         )
-        if slab_bytes <= 6 * 1024 * 1024:
+        if n_atoms is None:
+            input_bytes = 0
+        else:
+            cap = min(n_atoms, int(np.ceil(n_atoms / n_slabs * 2.5)) + 32)
+            input_bytes = cap * n_ch * order ** 3 * 4 + cap * 3 * 4
+        if 2 * slab_bytes + 2 * input_bytes <= 13 * 1024 * 1024 and (
+            slab_bytes <= 6 * 1024 * 1024
+        ):
             return n_slabs
     return None
 
@@ -320,6 +334,35 @@ def spread_points_separable(u0, alpha, lmax: int, order: int = 6):
     return q_points.reshape(n, order, order, order)
 
 
+def atom_spread_alpha(positions, box, q_harm, grid_shape, lmax: int,
+                      order: int = 6, precision: str | None = None):
+    """Per-atom spread prerequisites: base mesh index, fractional offsets, and
+    the separable-term coefficients alpha = q @ spread_mixing_matrix (with the
+    MPID quadrupole 1/3 already applied).
+
+    The (m_u0, u0, alpha) triple is everything atom-dependent the stencil
+    evaluation needs — ~16 scalars/atom instead of the order^3 stencil — so it
+    is also the natural payload for the distributed halo-exchange spread's
+    atom redistribution (parallel/spread.py). ``precision='f64'`` evaluates
+    the pipeline in float64 (see spread_to_mesh).
+    """
+    if precision == "f64":
+        positions_w = positions.astype(jnp.float64)
+        box_w = box.astype(jnp.float64)
+        q_w = q_harm.astype(jnp.float64)
+    else:
+        positions_w, box_w, q_w = positions, box, q_harm
+    m_u0, u0, dug_dx = mesh_coordinates(positions_w, box_w, grid_shape, order)
+    q = q_w[:, : (lmax + 1) ** 2]
+    if lmax >= 2:
+        q = jnp.concatenate([q[:, :4], q[:, 4:9] / 3.0], axis=-1)
+    # fold the (atom-independent) Cartesian chain rule into one small matrix
+    # and build the stencil from separable spline-derivative products —
+    # avoids every (N, 216, H)-wide intermediate of the direct formulation
+    alpha = q @ spread_mixing_matrix(dug_dx, lmax)  # (N, T)
+    return m_u0, u0, alpha
+
+
 def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
                    atom_chunk: int | None = None, method: str = "scatter",
                    interpret: bool = False, precision: str | None = None,
@@ -367,27 +410,17 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
         mesh, _ = jax.lax.scan(body, mesh0, (pos_b, q_b))
         return mesh
     work_dtype = mesh_dtype or q_harm.dtype
-    if precision == "f64":
-        positions_w = positions.astype(jnp.float64)
-        box_w = box.astype(jnp.float64)
-        q_w = q_harm.astype(jnp.float64)
-    else:
-        positions_w, box_w, q_w = positions, box, q_harm
-    m_u0, u0, dug_dx = mesh_coordinates(positions_w, box_w, grid_shape, order)
-
-    q = q_w[:, : (lmax + 1) ** 2]
-    if lmax >= 2:
-        q = jnp.concatenate([q[:, :4], q[:, 4:9] / 3.0], axis=-1)
-    # fold the (atom-independent) Cartesian chain rule into one small matrix
-    # and build the stencil from separable spline-derivative products —
-    # avoids every (N, 216, H)-wide intermediate of the direct formulation
-    alpha = q @ spread_mixing_matrix(dug_dx, lmax)  # (N, T)
+    m_u0, u0, alpha = atom_spread_alpha(
+        positions, box, q_harm, grid_shape, lmax, order, precision
+    )
     q_points = spread_points_separable(u0, alpha, lmax, order)
     q_points = q_points.astype(work_dtype)
 
     n_slabs = 16
     if method == "auto":
-        picked = _pallas_spread_slabs(grid_shape, q_points.dtype, order)
+        picked = _pallas_spread_slabs(
+            grid_shape, q_points.dtype, order, 1, q_points.shape[0]
+        )
         method = "pallas" if (picked is not None and order == 6) else "scatter"
         n_slabs = picked or 16
     if method == "pallas":
@@ -447,7 +480,7 @@ def spread_to_mesh_multi(positions, box, coeffs, grid_shape, order: int = 6,
 
     if method == "auto":
         picked = _pallas_spread_slabs(
-            grid_shape, theta.dtype, order, coeffs.shape[-1]
+            grid_shape, theta.dtype, order, coeffs.shape[-1], n
         )
         method = "pallas" if picked is not None else "scatter"
         n_slabs = picked or 16
@@ -525,21 +558,18 @@ def make_disp_pme_recip(ck_fns, kappa, grid_shape, static_box=None,
     if static_box is not None:
         box0 = jnp.asarray(static_box)
         dtype = jnp.zeros(0).dtype
-        ksq, theta_sq = k_space_grids(box0, grid_shape, dtype, rfft=True,
-                                      order=spread_order)
-        volume = det3x3(box0)
-        w3 = _hermitian_weights(grid_shape[2], dtype)
-        nonzero = ksq > 0.0
-        ksq_safe = jnp.where(nonzero, ksq, 1.0)
-        weights = []
-        gammas = []
+        weights, gammas = [], []
         for ck_fn in ck_fns:
-            c_k = jnp.where(nonzero, ck_fn(ksq_safe, kappa, volume), 0.0)
-            weights.append(c_k / theta_sq * w3[None, None, :])
-            gammas.append(ck_fn.at_zero(kappa, volume) / theta_sq[0, 0, 0])
+            w, g = influence_weights(
+                box0, grid_shape, kappa, ck_fn, True, spread_order, dtype
+            )
+            weights.append(w)
+            gammas.append(g)
         cached = (tuple(weights), tuple(gammas))
 
     def disp_recip(positions, box, c_list):
+        if cached is not None:
+            box = _cached_influence_box_guard(box)
         meshes = spread_to_mesh_multi(
             positions, box, c_list[:, : len(ck_fns)], grid_shape, spread_order,
             spread_method,
@@ -560,6 +590,36 @@ def make_disp_pme_recip(ck_fns, kappa, grid_shape, static_box=None,
     # are (N, 216)-shaped after the outer product — no chunking needed at 100k
 
     return disp_recip
+
+
+@jax.custom_jvp
+def _cached_influence_box_guard(box):
+    """Identity on the box that REFUSES to be differentiated.
+
+    A cache_influence engine precomputes C(k^2)/theta^2 for a fixed cell;
+    gradients of the energy w.r.t. the box then silently miss the influence
+    term (a wrong, finite virial). Routing the cached branch's box through
+    this guard turns that silent wrongness into a loud error the moment
+    someone perturbs the box (grad/jvp/vjp w.r.t. box); plain jit tracing and
+    position/parameter gradients are unaffected (their box tangent is a
+    symbolic zero)."""
+    return box
+
+
+@partial(_cached_influence_box_guard.defjvp, symbolic_zeros=True)
+def _cached_influence_box_guard_jvp(primals, tangents):
+    (box,) = primals
+    (t,) = tangents
+    if not isinstance(t, jax.custom_derivatives.SymbolicZero):
+        raise ValueError(
+            "cache_influence=True precomputes the reciprocal influence grid "
+            "for a fixed box; box gradients through the influence term are "
+            "NOT tracked, so differentiating this energy with respect to the "
+            "box (virial / NPT / barostats) would return a wrong, finite "
+            "answer. Rebuild the engine with cache_influence=False (or "
+            "static_box=None) for box-differentiable workloads."
+        )
+    return box, t
 
 
 def _fft_int_freqs(n: int):
@@ -613,6 +673,32 @@ def _hermitian_weights(k3: int, dtype):
     if k3 % 2 == 0:
         w = w.at[k3h - 1].set(1.0)
     return w
+
+
+def influence_weights(box, grid_shape, kappa, ck_fn, include_gamma: bool,
+                      order: int = 6, dtype=None):
+    """Precompute the fixed-cell influence grid C(k^2)/theta^2 (with Hermitian
+    multiplicity folded in) over the rfft half-spectrum, plus the gamma-point
+    factor. The cache_influence fast path — shared by the single-device
+    engines (make_pme_recip / make_disp_pme_recip) and the sharded layer
+    (parallel/sharded.py slices its K2 pencil chunk out of this grid)."""
+    box0 = jnp.asarray(box)
+    dtype = dtype or box0.dtype
+    ksq, theta_sq = k_space_grids(
+        box0.astype(dtype), grid_shape, dtype, rfft=True, order=order
+    )
+    volume = det3x3(box0.astype(dtype))
+    w3 = _hermitian_weights(grid_shape[2], dtype)
+    nonzero = ksq > 0.0
+    ksq_safe = jnp.where(nonzero, ksq, 1.0)
+    c_k = jnp.where(nonzero, ck_fn(ksq_safe, kappa, volume), 0.0)
+    weight = c_k / theta_sq * w3[None, None, :]
+    gamma0 = (
+        ck_fn.at_zero(kappa, volume) / theta_sq[0, 0, 0]
+        if include_gamma
+        else None
+    )
+    return weight, gamma0
 
 
 def convolve_energy(mesh, box, kappa, ck_fn, include_gamma: bool, prefactor=1.0,
@@ -671,6 +757,34 @@ def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0,
     ``q_harm``.
     """
     grid_shape = tuple(int(k) for k in grid_shape)
+    if recip_precision == "ds":
+        # double-single engine (ops/dsrecip.py): DS weights + compensated-
+        # butterfly FFT + hand-written DS adjoint. Electro-only (ck_1,
+        # no gamma), power-of-two grids.
+        from admp_tpu.ops.dsrecip import make_ds_pme_recip
+
+        assert not include_gamma, "recip_precision='ds' is electro-only"
+        engines = {lmax: make_ds_pme_recip(kappa, grid_shape, lmax, prefactor)}
+
+        def ds_recip(positions, box, q_harm, u_harm=None):
+            if u_harm is None:
+                e = engines[lmax](positions, box, q_harm)
+            else:
+                # merge induced dipoles into the dipole channels on ONE mesh
+                # (spreading is linear) — the lmax=0+lpol path
+                lm = max(lmax, 1)
+                if lm not in engines:
+                    engines[lm] = make_ds_pme_recip(
+                        kappa, grid_shape, lm, prefactor
+                    )
+                n_ = q_harm.shape[0]
+                q4 = jnp.zeros((n_, (lm + 1) ** 2), u_harm.dtype)
+                q4 = q4.at[:, : q_harm.shape[1]].set(q_harm)
+                q4 = q4.at[:, 1:4].add(u_harm)
+                e = engines[lm](positions, box, q4)
+            return e.astype(q_harm.dtype)
+
+        return ds_recip
     f64_mode = recip_precision in ("f64", "f64-dft")
     if f64_mode:
         spread_precision = "f64"
@@ -681,22 +795,9 @@ def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0,
     if static_box is not None:
         box0 = jnp.asarray(static_box)
         dtype = jnp.float64 if f64_mode else box0.dtype
-        ksq, theta_sq = k_space_grids(
-            box0.astype(dtype), grid_shape, dtype, rfft=True,
-            order=spread_order,
+        cached = influence_weights(
+            box0, grid_shape, kappa, ck_fn, include_gamma, spread_order, dtype
         )
-        volume = det3x3(box0.astype(dtype))
-        w3 = _hermitian_weights(grid_shape[2], dtype)
-        nonzero = ksq > 0.0
-        ksq_safe = jnp.where(nonzero, ksq, 1.0)
-        c_k = jnp.where(nonzero, ck_fn(ksq_safe, kappa, volume), 0.0)
-        weight = c_k / theta_sq * w3[None, None, :]
-        gamma0 = (
-            ck_fn.at_zero(kappa, volume) / theta_sq[0, 0, 0]
-            if include_gamma
-            else None
-        )
-        cached = (weight, gamma0)
 
     def pme_recip(positions, box, q_harm, u_harm=None):
         """``u_harm`` (N, 3, harmonic z/x/y order): spread the induced dipoles
@@ -706,6 +807,8 @@ def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0,
         subexpression of the permanent-field computation (b = -field(0))
         inside the same jit, so XLA CSE shares one full spread+FFT between
         the SCF right-hand side and the energy evaluation at u*."""
+        if cached is not None:
+            box = _cached_influence_box_guard(box)
         atom_chunk = 4096 if positions.shape[0] > 16384 else None
         mesh_dtype = jnp.float64 if f64_mode else None
         mesh = spread_to_mesh(

@@ -98,11 +98,25 @@ class EngineConfig:
       spread_precision: None or 'f64' — evaluate the B-spline weight pipeline
         in float64 (requires jax_enable_x64; elementwise-emulated on TPU).
     Precision (north star: f32 force RMSE < 1e-6 vs f64, BASELINE.md):
-      realspace_precision: None or 'f64' — evaluate the topological-exclusion
-        pairs (the large-magnitude intramolecular Ewald corrections that
-        dominate the f32 real-space force error, ROADMAP.md) in float64 on a
-        static exclusion-pair list; all other pairs stay in the working dtype.
-      recip_precision: None, 'f64', or 'f64-dft' — full float64 reciprocal path: f64 mesh
+      realspace_precision: None, 'f64', 'f64-near', or 'f64-all'.
+        'f64': evaluate the topological-exclusion pairs (the large-magnitude
+        intramolecular Ewald corrections that dominate the f32 real-space
+        force error, ROADMAP.md) in float64 on a static exclusion-pair list.
+        'f64-near': delta-correct all pairs closer than
+        ``realspace_near_radius`` in float64 — the close pairs carry the
+        largest per-pair force magnitudes and hence the bulk of the f32
+        rounding mass; the correction subtracts the identical f32
+        sub-expression so the main pass's rounding cancels exactly. Compacted
+        on device at ``realspace_near_frac`` of the pair capacity (overflow
+        NaN-poisons the energy — loud, never silently wrong).
+        'f64-all': the whole pair pass in float64 (slowest, exactest).
+      recip_precision: None, 'ds', 'f64', or 'f64-dft'.
+        'ds': the double-single (two-float32) reciprocal engine
+        (ops/dsrecip.py) — DS spread weights, compensated-butterfly FFT,
+        hand-written DS adjoint; measured recip force error ~2.5e-8 relative
+        on native f32 datapaths (power-of-two grids only; the force
+        constructor rounds the heuristic K up to the next power of two).
+        'f64'/'f64-dft' — full float64 reciprocal path: f64 mesh
         accumulation, hi/lo-split f32 FFTs (TPU has no f64 FFT; the FFT is
         linear so FFT(hi)+FFT(lo) loses nothing beyond the f32 FFT's own
         ~2e-7), f64 influence convolution and Parseval sum. 'f64-dft'
@@ -133,6 +147,8 @@ class EngineConfig:
     spread_order: int = 6
     spread_precision: str | None = None
     realspace_precision: str | None = None
+    realspace_near_radius: float = 3.0
+    realspace_near_frac: float = 0.5
     recip_precision: str | None = None
     compensated_sums: bool = True
     pmax_recip: int | None = None
@@ -150,6 +166,21 @@ class EngineConfig:
             spread_precision="f64",
             realspace_precision="f64",
             recip_precision="f64",
+            compensated_sums=True,
+        )
+        base.update(overrides)
+        return cls(**base)
+
+    @classmethod
+    def ds_accuracy(cls, **overrides):
+        """Preset for <1e-6 force RMSE at near-f32 cost: the double-single
+        reciprocal engine + float64 delta correction of close pairs. The
+        heavy O(K^3 log K) and O(pairs) work stays on native f32 datapaths;
+        only the f64 mesh scatter and the compacted close-pair pass use
+        emulated f64 (requires jax_enable_x64)."""
+        base = dict(
+            recip_precision="ds",
+            realspace_precision="f64-near",
             compensated_sums=True,
         )
         base.update(overrides)

@@ -4,8 +4,10 @@
 Demonstrates the full on-device NPT loop (integrator + barostat + polarizable
 force field) that the reference ecosystem delegates to OpenMM/i-PI. The energy
 closure takes a traced box, so PME influence grids track volume changes
-(cache_influence=False); the neighbor list is built with a skin and reused
-inside each segment.
+(cache_influence=False); the neighbor list is built with a skin, reused inside
+each segment, and refreshed at fixed capacity between segments (Langevin
+diffusion plus accepted volume moves would otherwise outrun the skin and
+silently drop pairs on longer runs).
 
 Usage: python examples/run_npt.py [--nmol 64] [--steps 200] [--cpu]
 """
@@ -44,6 +46,7 @@ def main():
         generate_pairwise_interaction,
         make_mc_barostat,
         neighbor_list_cell,
+        refresh_neighbor_list,
         run_langevin,
         tt_damping_qq_c6_kernel,
     )
@@ -88,9 +91,9 @@ def main():
         tt_damping_qq_c6_kernel, s["covalent_map"]
     )
 
-    def energy(pos, bx):
-        e = pme.get_energy(pos, bx, pairs, q_local, m_scales)
-        e = e + tt(pos, bx, pairs, m_scales, tt_a, tt_b, tt_q, c_list[:, 0])
+    def energy(pos, bx, prs):
+        e = pme.get_energy(pos, bx, prs, q_local, m_scales)
+        e = e + tt(pos, bx, prs, m_scales, tt_a, tt_b, tt_q, c_list[:, 0])
         # intramolecular MPID water springs keep the flexible molecules bound
         e = e + harmonic_bond_energy(pos, bx, bond_idx, r0, k_bond)
         return e + harmonic_angle_energy(pos, bx, angle_idx, theta0, k_angle)
@@ -107,7 +110,7 @@ def main():
     state = MDState(
         positions,
         jnp.zeros_like(positions),
-        -jax.grad(energy)(positions, box),
+        -jax.grad(energy)(positions, box, pairs),
         None,
     )
     accepts = 0
@@ -115,13 +118,20 @@ def main():
     for seg in range(args.segments):
         key, k_md, k_bar = jax.random.split(key, 3)
         state, kes = run_langevin(
-            lambda p, aux: (0.0, -jax.grad(energy)(p, box), aux),
+            lambda p, aux: (0.0, -jax.grad(energy)(p, box, pairs), aux),
             masses, dt, args.temperature, friction, state, args.steps, k_md,
         )
-        pos, box, acc, e = barostat(state.positions, box, k_bar)
+        # refresh at fixed capacity: the segment's diffusion (and any accepted
+        # volume move below) eats into the 1 A skin
+        nl = refresh_neighbor_list(nl, state.positions, box)
+        pairs = jnp.asarray(nl.pairs)
+        pos, box, acc, e = barostat(state.positions, box, k_bar, pairs)
         accepts += int(acc)
+        if bool(acc):
+            nl = refresh_neighbor_list(nl, pos, box)
+            pairs = jnp.asarray(nl.pairs)
         state = state._replace(
-            positions=pos, forces=-jax.grad(energy)(pos, box)
+            positions=pos, forces=-jax.grad(energy)(pos, box, pairs)
         )
         vol = abs(float(jnp.linalg.det(box)))
         k_b = 0.00831446261815324
