@@ -237,6 +237,7 @@ class Hamiltonian:
                 )
             type_map.append(ttype)
         self._system = system
+        self._type_map = list(type_map)
         self._potentials = [
             gen.create_force(system, type_map, nonbondedCutoff)
             for gen in self._generators

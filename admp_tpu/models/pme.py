@@ -445,6 +445,11 @@ def energy_pme(
 
         delta = near_pass(f64) - near_pass(work_dtype).astype(f64)
         delta = jnp.where(overflowed, jnp.nan, delta)
+        # poison FORCES too on overflow (a plain where() zeroes the untaken
+        # branch's cotangent, which would leave finite ds-only-quality forces
+        # under a NaN energy): nan * 0 = nan rides the position gradient
+        poison = jnp.where(overflowed, jnp.nan, 0.0)
+        delta = delta + poison * jnp.sum(positions).astype(f64) * 0.0
         e_real = e_real.astype(f64) + delta
     recip_f64 = config.recip_precision in ("f64", "f64-dft")
     if lpol and lmax == 0:

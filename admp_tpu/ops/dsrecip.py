@@ -380,20 +380,29 @@ def _ds_mesh_coords(positions, box, grid_shape):
 @jax.custom_jvp
 def _ds_box_guard(box):
     """The DS engine's influence grid and chain rule are built for gradients
-    w.r.t. positions/multipoles only; box differentiation raises loudly
-    instead of returning a silently-truncated virial."""
+    w.r.t. positions/multipoles only; a perturbed box emits a prominent
+    warning and contributes a ZERO tangent (no silently-partial virial).
+    Broad linearizations (the implicit-SCF adjoint linearizes every input and
+    discards unused cotangents) pass through with the same semantics."""
     return box
 
 
 @partial(_ds_box_guard.defjvp, symbolic_zeros=True)
 def _ds_box_guard_jvp(primals, tangents):
+    import warnings
+
     (box,) = primals
     (t,) = tangents
     if not isinstance(t, jax.custom_derivatives.SymbolicZero):
-        raise ValueError(
-            "recip_precision='ds' does not track box gradients (virial/NPT); "
-            "use the f64 reciprocal modes for box-differentiable work."
+        warnings.warn(
+            "recip_precision='ds' does not track box gradients: the engine "
+            "contributes ZERO box gradient. Harmless unless you consume "
+            "dE/dbox (virial/NPT) — then use the f64 reciprocal modes. (May "
+            "fire from internal linearizations, e.g. the implicit-SCF "
+            "adjoint, even for position-only forces.)",
+            stacklevel=2,
         )
+        t = jax.tree_util.tree_map(jnp.zeros_like, box)
     return box, t
 
 

@@ -340,3 +340,171 @@ def _spread_blocks_multi_bwd(grid_shape, order, n_slabs, interpret, m_u0,
 
 
 spread_blocks_multi.defvjp(_spread_blocks_multi_fwd, _spread_blocks_multi_bwd)
+
+
+# ---------------------------------------------------------------------------
+# 2-D (x, y)-blocked variant for large grids (K=320-class): the 1-D slab
+# kernel's block is (width+halo, K2pad, K3pad) — full y/z extent — which
+# exceeds VMEM for K >~ 160 at any slab count (ROADMAP round 2: K=320
+# "NOT eligible, verified"). Blocking y as well bounds the accumulator at
+# (wx+halo, wy+_YW, K3pad); the kernel body is REUSED unchanged (it only
+# sees block-relative indices and the out_ref shape).
+# ---------------------------------------------------------------------------
+
+
+def pick_blocks_2d(grid_shape, order: int, n_ch: int, n_atoms: int):
+    """Choose an (nx, ny) program grid whose accumulator + double-buffered
+    atom inputs fit the VMEM budget. Returns None when nothing fits (or the
+    grid doesn't divide evenly)."""
+    k1, k2, k3 = grid_shape
+    k3pad = k3 + _ZW
+    for nx, ny in ((8, 8), (16, 8), (16, 16), (32, 16), (32, 32)):
+        if k1 % nx or k2 % ny:
+            continue
+        wx, wy = k1 // nx, k2 // ny
+        if wy % 8:
+            continue
+        acc = n_ch * (wx + order - 1) * (wy + _YW) * k3pad * 4
+        cap = min(n_atoms, int(np.ceil(n_atoms / (nx * ny) * 2.5)) + 32)
+        inputs = cap * (n_ch * order ** 3 + 3) * 4
+        if 2 * acc + 2 * inputs <= 13 * 1024 * 1024 and acc <= 6 * 1024 * 1024:
+            return nx, ny
+    return None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid_shape", "nx", "ny", "interpret", "order")
+)
+def _pallas_spread2d_impl(m_u0, q_points, grid_shape, nx, ny, interpret=False,
+                          order=6):
+    """q_points: (N, C, order^3). Returns ((C, K1, K2, K3) meshes, overflow).
+
+    Requires K1 % nx == 0 and K2 % ny == 0 (pick_blocks_2d guarantees it).
+    """
+    k1, k2, k3 = grid_shape
+    n = m_u0.shape[0]
+    n_ch = q_points.shape[1]
+    halo = order - 1
+    half = order // 2
+    wx, wy = k1 // nx, k2 // ny
+    nb = nx * ny
+    k3pad = k3 + _ZW
+
+    base = jnp.stack(
+        [
+            jnp.mod(m_u0[:, 0] - half, k1),
+            jnp.mod(m_u0[:, 1] - half, k2),
+            jnp.mod(m_u0[:, 2] - half, k3),
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+
+    bid = (base[:, 0] // wx) * ny + base[:, 1] // wy
+    sort_order = jnp.argsort(bid)
+    sorted_ids = bid[sort_order]
+    base_s = base[sort_order]
+    q_s = q_points[sort_order].reshape(n, n_ch * order, order * order)
+
+    b_iota = jnp.arange(nb, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_ids, b_iota).astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_ids, b_iota + 1).astype(jnp.int32)
+    counts = ends - starts
+    cap = min(n, int(np.ceil(n / nb * 2.5)) + 32)
+    overflow = jnp.any(counts > cap)
+
+    take = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+    take = jnp.minimum(take, n - 1)
+    m_b = base_s[take]
+    m_b = m_b.at[..., 0].add(-((b_iota // ny) * wx)[:, None])
+    m_b = m_b.at[..., 1].add(-((b_iota % ny) * wy)[:, None])
+    q_b = q_s[take]
+
+    out = pl.pallas_call(
+        _make_spread_kernel(order, n_ch),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cap, 3), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, cap, n_ch * order, order * order),
+                lambda p: (p, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_ch, wx + halo, wy + _YW, k3pad),
+            lambda p: (p, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (nb, n_ch, wx + halo, wy + _YW, k3pad), q_points.dtype
+        ),
+        interpret=interpret,
+    )(counts, m_b, q_b)
+    out = out.reshape(nx, ny, n_ch, wx + halo, wy + _YW, k3pad)
+
+    # fold stage 1: merge the y-blocks of each x row (ny slice-adds)
+    ymerged = jnp.zeros(
+        (nx, n_ch, wx + halo, k2 + _YW, k3pad), q_points.dtype
+    )
+    for py in range(ny):
+        ymerged = jax.lax.dynamic_update_slice(
+            ymerged,
+            jax.lax.dynamic_slice(
+                ymerged, (0, 0, 0, py * wy, 0),
+                (nx, n_ch, wx + halo, wy + _YW, k3pad),
+            )
+            + out[:, py],
+            (0, 0, 0, py * wy, 0),
+        )
+    # fold stage 2: merge the x blocks (nx slice-adds)
+    mesh_pad = jnp.zeros(
+        (n_ch, k1 + halo, k2 + _YW, k3pad), q_points.dtype
+    )
+    for px in range(nx):
+        mesh_pad = jax.lax.dynamic_update_slice(
+            mesh_pad,
+            jax.lax.dynamic_slice(
+                mesh_pad, (0, px * wx, 0, 0),
+                (n_ch, wx + halo, k2 + _YW, k3pad),
+            )
+            + ymerged[px],
+            (0, px * wx, 0, 0),
+        )
+    # periodic wraps
+    mesh = mesh_pad[:, :k1]
+    mesh = mesh.at[:, :halo].add(mesh_pad[:, k1:])
+    mesh = mesh.at[:, :, : _YW, :].add(mesh[:, :, k2:, :])[:, :, :k2, :]
+    mesh = mesh.at[:, :, :, : _ZW].add(mesh[:, :, :, k3:])[:, :, :, :k3]
+    return mesh, overflow
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def spread_blocks_2d(m_u0, q_points, grid_shape, nx, ny, interpret=False):
+    """Differentiable 2-D blocked spread: single-channel (N, 6, 6, 6) stencil
+    values -> (K1, K2, K3) mesh; XLA-scatter fallback on bucket overflow,
+    flat-gather adjoint (the same contract as spread_blocks)."""
+    n = q_points.shape[0]
+    mesh, overflow = _pallas_spread2d_impl(
+        m_u0, q_points.reshape(n, 1, 216), grid_shape, nx, ny, interpret
+    )
+    return jax.lax.cond(
+        overflow,
+        lambda: _xla_scatter(m_u0, q_points, grid_shape),
+        lambda: mesh[0],
+    )
+
+
+def _spread_blocks_2d_fwd(m_u0, q_points, grid_shape, nx, ny, interpret=False):
+    return spread_blocks_2d(m_u0, q_points, grid_shape, nx, ny, interpret), m_u0
+
+
+def _spread_blocks_2d_bwd(grid_shape, nx, ny, interpret, m_u0, g_mesh):
+    n = m_u0.shape[0]
+    flat = _flat_stencil_indices(m_u0, grid_shape, 6)
+    g_q = g_mesh.reshape(-1)[flat].reshape(n, 6, 6, 6)
+    return None, g_q
+
+
+spread_blocks_2d.defvjp(_spread_blocks_2d_fwd, _spread_blocks_2d_bwd)

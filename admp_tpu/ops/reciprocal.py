@@ -196,6 +196,22 @@ def spread_weights(u0, dug_dx, lmax: int):
     return jnp.concatenate(outs, axis=-1)
 
 
+def _pallas_backend_ok(dtype) -> bool:
+    """Common Pallas-eligibility gate: TPU backend, float32, kernel importable."""
+    if dtype != jnp.float32:
+        return False
+    try:
+        import jax as _jax
+
+        if _jax.default_backend() != "tpu":
+            return False
+        from admp_tpu.ops.pallas.spread import pallas_spread_available
+
+        return pallas_spread_available()
+    except Exception:
+        return False
+
+
 def _pallas_spread_slabs(grid_shape, dtype, order: int, n_ch: int = 1,
                          n_atoms: int | None = None):
     """'auto' spread-method resolution: the slab count for the Pallas kernel
@@ -209,18 +225,7 @@ def _pallas_spread_slabs(grid_shape, dtype, order: int, n_ch: int = 1,
     rows of (n_ch * order, order^2) stencil weights, double-buffered (x2).
     The input side scales with N, so large-N workloads (98k atoms) are
     ineligible even when the slab itself fits (ADVICE round 2)."""
-    if dtype != jnp.float32:
-        return None
-    try:
-        import jax as _jax
-
-        if _jax.default_backend() != "tpu":
-            return None
-        from admp_tpu.ops.pallas.spread import pallas_spread_available
-
-        if not pallas_spread_available():
-            return None
-    except Exception:
+    if not _pallas_backend_ok(dtype):
         return None
     k1, k2, k3 = grid_shape
     if k2 % 2 or k3 % 2:
@@ -390,6 +395,26 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
     """
     k1, k2, k3 = grid_shape
     if atom_chunk is not None and positions.shape[0] > atom_chunk:
+        # Pallas kernel paths bucket/sort ALL atoms once and stream slab
+        # blocks through VMEM — chunking would re-run the kernel per chunk at
+        # low occupancy and re-pay the sort. Only the XLA scatter path needs
+        # the chunk bound (for its (N, T, order^2) weight intermediates).
+        wd = mesh_dtype or q_harm.dtype
+        kernel_eligible = method in ("pallas", "pallas2d")
+        if method == "auto" and order == 6 and _pallas_backend_ok(wd):
+            if _pallas_spread_slabs(
+                grid_shape, wd, order, 1, positions.shape[0]
+            ) is not None:
+                kernel_eligible = True
+            else:
+                from admp_tpu.ops.pallas.spread import pick_blocks_2d
+
+                kernel_eligible = pick_blocks_2d(
+                    grid_shape, order, 1, positions.shape[0]
+                ) is not None
+        if kernel_eligible:
+            atom_chunk = None
+    if atom_chunk is not None and positions.shape[0] > atom_chunk:
         n = positions.shape[0]
         n_pad = (-n) % atom_chunk
         pos_p = jnp.concatenate([positions, jnp.zeros((n_pad, 3), positions.dtype)])
@@ -417,12 +442,36 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
     q_points = q_points.astype(work_dtype)
 
     n_slabs = 16
+    blocks2d = None
     if method == "auto":
         picked = _pallas_spread_slabs(
             grid_shape, q_points.dtype, order, 1, q_points.shape[0]
         )
-        method = "pallas" if (picked is not None and order == 6) else "scatter"
-        n_slabs = picked or 16
+        if picked is not None and order == 6:
+            method = "pallas"
+            n_slabs = picked
+        elif order == 6 and _pallas_backend_ok(q_points.dtype):
+            # large grids where the 1-D slab accumulator can't fit VMEM
+            # (K=320-class): try the 2-D (x, y)-blocked kernel
+            from admp_tpu.ops.pallas.spread import pick_blocks_2d
+
+            blocks2d = pick_blocks_2d(
+                grid_shape, order, 1, q_points.shape[0]
+            )
+            method = "pallas2d" if blocks2d is not None else "scatter"
+        else:
+            method = "scatter"
+    if method == "pallas2d":
+        from admp_tpu.ops.pallas.spread import pick_blocks_2d, spread_blocks_2d
+
+        if blocks2d is None:
+            blocks2d = pick_blocks_2d(grid_shape, order, 1, q_points.shape[0])
+        assert blocks2d is not None, (
+            f"no 2-D block config fits VMEM for grid {grid_shape}"
+        )
+        return spread_blocks_2d(
+            m_u0, q_points, grid_shape, blocks2d[0], blocks2d[1], interpret
+        )
     if method == "pallas":
         # Pallas slab kernel forward + flat-gather adjoint
         # (ops/pallas/spread.py); with the separable weight pipeline the
@@ -594,31 +643,38 @@ def make_disp_pme_recip(ck_fns, kappa, grid_shape, static_box=None,
 
 @jax.custom_jvp
 def _cached_influence_box_guard(box):
-    """Identity on the box that REFUSES to be differentiated.
+    """Identity on the box that makes cache_influence box-differentiation
+    LOUD and CONSISTENT instead of silently partial.
 
-    A cache_influence engine precomputes C(k^2)/theta^2 for a fixed cell;
-    gradients of the energy w.r.t. the box then silently miss the influence
-    term (a wrong, finite virial). Routing the cached branch's box through
-    this guard turns that silent wrongness into a loud error the moment
-    someone perturbs the box (grad/jvp/vjp w.r.t. box); plain jit tracing and
-    position/parameter gradients are unaffected (their box tangent is a
-    symbolic zero)."""
+    A cache_influence engine precomputes C(k^2)/theta^2 for a fixed cell, so
+    the influence term's box dependence is untracked while the spread's is —
+    naive differentiation would return a wrong, *finite* virial. When the box
+    is perturbed through this guard (grad/jvp/vjp w.r.t. box — including the
+    broad linearizations the implicit-SCF adjoint performs and then
+    discards), it (a) emits a prominent warning and (b) ZEROS the tangent, so
+    the guarded engine contributes exactly no box gradient rather than a
+    misleading partial one. Plain jit tracing and position/parameter
+    gradients are unaffected (their box tangent is a symbolic zero)."""
     return box
 
 
 @partial(_cached_influence_box_guard.defjvp, symbolic_zeros=True)
 def _cached_influence_box_guard_jvp(primals, tangents):
+    import warnings
+
     (box,) = primals
     (t,) = tangents
     if not isinstance(t, jax.custom_derivatives.SymbolicZero):
-        raise ValueError(
-            "cache_influence=True precomputes the reciprocal influence grid "
-            "for a fixed box; box gradients through the influence term are "
-            "NOT tracked, so differentiating this energy with respect to the "
-            "box (virial / NPT / barostats) would return a wrong, finite "
-            "answer. Rebuild the engine with cache_influence=False (or "
-            "static_box=None) for box-differentiable workloads."
+        warnings.warn(
+            "cache_influence=True: box gradients through this reciprocal "
+            "engine are NOT tracked (the influence grid is precomputed for a "
+            "fixed cell); the engine contributes ZERO box gradient. Harmless "
+            "unless you consume dE/dbox (virial/NPT) — then rebuild with "
+            "cache_influence=False. (May fire from internal linearizations, "
+            "e.g. the implicit-SCF adjoint, even for position-only forces.)",
+            stacklevel=2,
         )
+        t = jax.tree_util.tree_map(jnp.zeros_like, box)
     return box, t
 
 

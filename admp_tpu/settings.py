@@ -35,6 +35,23 @@ DO_JIT = os.environ.get("ADMP_TPU_DISABLE_JIT", "0") != "1"
 if os.environ.get("ADMP_TPU_MATMUL_PRECISION", "highest") == "highest":
     jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compilation cache: warm-start compiles (neighbor-list
+# allocation kernels, the big energy/force jits) load from disk instead of
+# recompiling — on TPU every cold compile goes through a remote-compile
+# tunnel (2-5 min for large jits), so cross-process reuse is the difference
+# between a 50 s and a ~seconds 98k-atom allocation. Opt out with
+# ADMP_TPU_COMPILATION_CACHE=0; relocate with ADMP_TPU_COMPILATION_CACHE_DIR.
+if os.environ.get("ADMP_TPU_COMPILATION_CACHE", "1") != "0":
+    _cache_dir = os.environ.get(
+        "ADMP_TPU_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/admp_tpu/xla"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        pass
+
 # Induced-dipole SCF defaults, matching the reference convergence envelope
 # (reference: admp/settings.py:29-30): residual field below POL_CONV (kJ/mol/A/e)
 # within at most MAX_N_POL iterations.
@@ -147,7 +164,7 @@ class EngineConfig:
     spread_order: int = 6
     spread_precision: str | None = None
     realspace_precision: str | None = None
-    realspace_near_radius: float = 3.0
+    realspace_near_radius: float = 2.5
     realspace_near_frac: float = 0.5
     recip_precision: str | None = None
     compensated_sums: bool = True

@@ -110,8 +110,8 @@ def main():
     f_norm = float(np.sqrt((f_ref**2).mean()))
 
     n_inner = 10
-    for name, cfg in MODES:
-        force = build(cfg)
+
+    def measure(name, force, e_ref_, f_ref_, f_norm_):
         with jax.default_device(dev):
             pos_d = jnp.asarray(pos32)
             box_d = jnp.asarray(box32)
@@ -135,7 +135,7 @@ def main():
                 jax.block_until_ready((es, fs))
             except Exception as exc:  # noqa: BLE001
                 emit(f"{name:24s}  FAILED: {type(exc).__name__}: {exc}")
-                continue
+                return
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -145,10 +145,46 @@ def main():
             ms = float(np.median(times) / n_inner * 1e3)
             e_val = float(es[0])
             f_val = np.asarray(fs[0], np.float64)
-        d = f_val - f_ref
-        rel = float(np.sqrt((d**2).mean()) / f_norm)
-        emit(f"{name:24s}  dE={e_val - e_ref:+.4g} kJ/mol  "
+        d = f_val - f_ref_
+        rel = float(np.sqrt((d**2).mean()) / f_norm_)
+        emit(f"{name:24s}  dE={e_val - e_ref_:+.4g} kJ/mol  "
              f"rel-F-RMSE={rel:.4g}  {ms:.2f} ms/step")
+
+    for name, cfg in MODES:
+        measure(name, build(cfg), e_ref, f_ref, f_norm)
+
+    # ----- double-single section (power-of-two K=128 grid; each mode
+    # compares against an oracle at ITS grid so the number isolates pipeline
+    # rounding, the ladder's methodology) -----
+    emit("# K=128 section (DS engine needs power-of-two grids; oracle at "
+         "the same K)")
+
+    def build128(cfg):
+        f = build(cfg)
+        f.kappa = KAPPA
+        f.K1 = f.K2 = f.K3 = 128
+        f.refresh_calculators()
+        return f
+
+    with jax.default_device(cpu):
+        oracle128 = build128(None)
+        e_ref1, f_ref1 = oracle128.get_forces(
+            jnp.asarray(pos32, jnp.float64), jnp.asarray(box32, jnp.float64),
+            jnp.asarray(pairs), jnp.asarray(q32, jnp.float64),
+            jnp.asarray(m32, jnp.float64),
+        )
+        e_ref1 = float(e_ref1)
+        f_ref1 = np.asarray(f_ref1, np.float64)
+    f_norm1 = float(np.sqrt((f_ref1**2).mean()))
+
+    DS_MODES = [
+        ("plain-f32 @128", EngineConfig()),
+        ("ds recip @128", EngineConfig(recip_precision="ds")),
+        ("ds+near2.0 @128", EngineConfig.ds_accuracy(realspace_near_radius=2.0)),
+        ("ds+near2.5 @128", EngineConfig.ds_accuracy(realspace_near_radius=2.5)),
+    ]
+    for name, cfg in DS_MODES:
+        measure(name, build128(cfg), e_ref1, f_ref1, f_norm1)
 
     OUT.write_text("\n".join(lines) + "\n")
     emit(f"# wrote {OUT}")

@@ -158,6 +158,7 @@ def test_create_potential_from_system(small_case):
     np.testing.assert_allclose(float(e_sys), float(e_path), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_polarizable_potential_and_param_grad(small_case):
     pot = small_case["pots"][1]
     gen = small_case["ham"].getGenerators()[1]
@@ -205,3 +206,100 @@ def test_multi_model_pdb_reads_first_model_only(tmp_path):
     assert len(data.names) == 2
     np.testing.assert_allclose(data.positions[0], [1.0, 1.0, 1.0])
     assert data.conect_bonds() == [(0, 1)]
+
+
+@pytest.mark.slow
+def test_hamiltonian_water1024_matches_reference_composition():
+    """Pin the COMPOSED generator potential (E_TT_shortrange - E_dispPME) and
+    its mScales parameter gradient on the reference water1024 box against the
+    reference implementation executed in-process (round-2 VERDICT item 7; the
+    analog of reference examples/openmm_api/ref_out:1-3 — openmm itself is
+    not needed: the composition is reference api.py:183-199, reproduced here
+    from the reference's own pairwise/disp_pme modules)."""
+    import sys
+    import types
+    import xml.etree.ElementTree as ET
+
+    import jax
+
+    from admp_tpu import neighbor_list_cell
+
+    pdb_path = "/root/reference/examples/openmm_api/water1024.pdb"
+    if not os.path.exists(pdb_path) or not os.path.exists(FF_XML):
+        pytest.skip("reference openmm_api example not available")
+
+    # --- reference modules in-process (same shim as test_reference_parity)
+    if "jax.config" not in sys.modules:
+        shim = types.ModuleType("jax.config")
+        shim.config = jax.config
+        sys.modules["jax.config"] = shim
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    try:
+        import admp.disp_pme as ref_disp
+        import admp.pairwise as ref_pairwise
+    except Exception as exc:  # pragma: no cover
+        pytest.skip(f"reference implementation unavailable: {exc}")
+
+    # --- our front-end on the real box
+    ham = Hamiltonian(FF_XML)
+    ham.getGenerators()[1].ref_dip = ""
+    pots = ham.createPotential(pdb_path, nonbondedCutoff=4.0)
+    disp_gen = ham.getGenerators()[0]
+    positions = jnp.asarray(ham._system.positions)
+    box = jnp.asarray(ham._system.box)
+    n = positions.shape[0]
+    assert n == 3072
+    nl = neighbor_list_cell(positions, box, 4.0)
+    pairs = jnp.asarray(nl.pairs)
+    ours = pots[0](positions, box, pairs, disp_gen.params)
+    g_ours = jax.grad(pots[0], argnums=3)(
+        positions, box, pairs, disp_gen.params
+    )["mScales"]
+
+    # --- the reference composition on identical inputs
+    ff_root = ET.parse(FF_XML).getroot()
+    disp_el = ff_root.find("ADMPDispForce")
+    m_scales = jnp.asarray(
+        [float(disp_el.attrib["mScale1%d" % i]) for i in range(2, 7)]
+    )
+    by_type = {a.attrib["type"]: a.attrib for a in disp_el.findall("Atom")}
+    # per-atom type assignment via the Hamiltonian's own template lookup
+    # (covalent-map parity is independently proven elsewhere)
+    type_names = ham._type_map
+    a_list, b_list, q_list = [], [], []
+    c6, c8, c10 = [], [], []
+    for t in type_names:
+        at = by_type[t]
+        a_list.append(float(at["A"]))
+        b_list.append(float(at["B"]))
+        q_list.append(float(at["Q"]))
+        c6.append(float(at["C6"]))
+        c8.append(float(at["C8"]))
+        c10.append(float(at["C10"]))
+    covalent_map = jnp.asarray(ham._system.covalent_map)
+
+    force = ref_disp.ADMPDispPmeForce(box, covalent_map, 4.0, 1e-5, 10)
+    tt = ref_pairwise.generate_pairwise_interaction(
+        ref_pairwise.TT_damping_qq_c6_kernel, covalent_map, static_args={}
+    )
+
+    def ref_potential(m):
+        al = jnp.asarray(a_list) / 2625.5
+        bl = jnp.asarray(b_list) * 0.0529177249
+        ql = jnp.asarray(q_list)
+        c6l = jnp.sqrt(jnp.asarray(c6) * 1e6)
+        c8l = jnp.sqrt(jnp.asarray(c8) * 1e8)
+        c10l = jnp.sqrt(jnp.asarray(c10) * 1e10)
+        c_list = jnp.vstack((c6l, c8l, c10l))
+        e_sr = tt(positions, box, pairs, m, al, bl, ql, c_list[0])
+        e_lr = force.get_energy(positions, box, pairs, c_list.T, m)
+        return e_sr - e_lr
+
+    theirs = ref_potential(m_scales)
+    g_theirs = jax.grad(ref_potential)(m_scales)
+
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(g_ours), np.asarray(g_theirs), rtol=1e-6
+    )

@@ -1,6 +1,7 @@
 """Chunked (memory-bounded) execution paths must be bit-compatible with the
 monolithic ones — these are the 100k-atom scaling paths."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +29,7 @@ def _setup():
     return s, jnp.asarray(nl.pairs), pos, box, qg
 
 
+@pytest.mark.slow
 def test_pair_chunked_real_space():
     s, pairs, pos, box, qg = _setup()
     cov = jnp.asarray(s["covalent_map"])

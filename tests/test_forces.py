@@ -40,6 +40,7 @@ def _fd_force(energy_fn, positions, atoms, eps=1e-5):
     return out
 
 
+@pytest.mark.slow
 def test_fixed_multipole_forces_fd(small):
     sysd = small
     q_local = convert_cart2harm(jnp.asarray(sysd["q_cart"]), 2)
@@ -60,6 +61,7 @@ def test_fixed_multipole_forces_fd(small):
         np.testing.assert_allclose(float(grad[a, d]), val, rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_polarizable_forces_fd(small):
     """Forces through the converged SCF (implicit function theorem path)."""
     sysd = small
@@ -92,6 +94,7 @@ def test_polarizable_forces_fd(small):
         np.testing.assert_allclose(float(grad[a, d]), val, rtol=5e-5, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_polarizable_parameter_gradients_fd(small):
     """Exact d(E)/d(pol) and d(E)/d(Q_local) through the SCF solution."""
     sysd = small
@@ -132,6 +135,7 @@ def test_polarizable_parameter_gradients_fd(small):
     np.testing.assert_allclose(float(gpol[0]), fd_p, rtol=1e-4, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_virial_via_box_gradient(small):
     """dE/d(box) is well-defined and finite-difference consistent (the virial
     path the reference only aspires to in its README, reference: README.md:12)."""
@@ -156,6 +160,7 @@ def test_virial_via_box_gradient(small):
     np.testing.assert_allclose(float(g[0, 0]), fd, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_f64_weight_pipeline_cuts_recip_force_error(small):
     """spread_precision='f64' must remove the B-spline weight rounding that
     dominates f32 reciprocal force error (measured 50x on water_1024)."""
@@ -193,6 +198,7 @@ def test_f64_weight_pipeline_cuts_recip_force_error(small):
     assert err_mix < 0.25 * err_f32
 
 
+@pytest.mark.slow
 def test_feynman_hellmann_adjoint_mode():
     """SCFConfig(exact_adjoint=False) — the reference's stop_gradient SCF
     (admp/pme.py:114-125) — must run and give forces close to (but measurably
@@ -241,6 +247,7 @@ def test_feynman_hellmann_adjoint_mode():
     assert 0.0 < rel < 0.05, rel
 
 
+@pytest.mark.slow
 def test_lmax0_lpol_recip_includes_induced_dipoles():
     """Charge-only polarizable model (lmax=0, lpol): the reciprocal space
     must include the induced dipoles. Cross-check: identical physics

@@ -38,6 +38,8 @@ from admp_tpu import (
     tt_damping_qq_c6_kernel,
 )
 
+pytestmark = pytest.mark.slow
+
 KAPPA_MPID = 0.657065221219616
 RC = 4.0
 ETHRESH = 1e-4

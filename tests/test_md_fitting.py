@@ -1,5 +1,6 @@
 """Tests for the on-device MD loop and the parameter-fitting loop."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,6 +18,7 @@ def _setup(n_side=2, seed=21):
     return s, jnp.asarray(nl.pairs)
 
 
+@pytest.mark.slow
 def test_nve_energy_conservation():
     # box must exceed 2*rc: multipolar minimum-image energies are discontinuous
     # when pairs can cross half-box (the neighbor list warns on this)
@@ -99,6 +101,7 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(restored["b"]["c"]), 1.0)
 
 
+@pytest.mark.slow
 def test_langevin_thermostat_equilibrates():
     from admp_tpu.md import run_langevin
     from admp_tpu.ops.bonded import (
@@ -154,6 +157,7 @@ def test_langevin_thermostat_equilibrates():
     assert np.all(np.isfinite(np.asarray(final.positions)))
 
 
+@pytest.mark.slow
 def test_bonded_terms_minimum_and_gradient():
     from admp_tpu.ops.bonded import (
         harmonic_angle_energy, harmonic_bond_energy, water_bonded_terms,

@@ -1,3 +1,4 @@
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,6 +38,7 @@ def test_dense_matches_brute_force():
     assert not bool(nlist.did_overflow)
 
 
+@pytest.mark.slow
 def test_cell_matches_dense():
     rng = np.random.default_rng(1)
     box = np.eye(3) * 25.0
@@ -68,6 +70,7 @@ def test_positions_outside_primary_cell():
     assert a == b
 
 
+@pytest.mark.slow
 def test_cell_list_clustered_molecules():
     """Water-like clustering (3 atoms per site) must not overflow per-cell
     buckets silently — regression for a bug caught in live verification."""

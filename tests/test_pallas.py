@@ -29,6 +29,7 @@ def test_pallas_spread_matches_scatter(k, n, slabs):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_spread_blocks_custom_vjp_matches_scatter():
     import jax
 
@@ -58,6 +59,7 @@ def test_spread_blocks_custom_vjp_matches_scatter():
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_multi_channel_spread_matches_scatter_interpret():
     """Channel-stacked slab kernel (dispersion C6/C8/C10) == the XLA
     multi-channel scatter, values and position-gradients, for both stencil
@@ -97,3 +99,31 @@ def test_multi_channel_spread_matches_scatter_interpret():
         np.testing.assert_allclose(
             np.asarray(g_got), np.asarray(g_ref), atol=1e-4
         )
+
+
+def test_spread_blocks_2d_matches_scatter_interpret():
+    """2-D (x, y)-blocked kernel (the K=320-class path) == XLA scatter, value
+    and flat-gather adjoint, in the Pallas interpreter."""
+    import jax
+
+    from admp_tpu.ops.pallas.spread import (
+        _xla_scatter,
+        spread_blocks_2d,
+    )
+
+    rng = np.random.default_rng(7)
+    k = 32
+    n = 160
+    grid = (k, k, k)
+    m_u0 = jnp.asarray(rng.integers(0, k, size=(n, 3)), jnp.int32)
+    q = jnp.asarray(rng.normal(size=(n, 6, 6, 6)), jnp.float32)
+
+    ref = _xla_scatter(m_u0, q, grid)
+    got = spread_blocks_2d(m_u0, q, grid, 4, 4, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+    g_ref = jax.grad(lambda qq: jnp.sum(_xla_scatter(m_u0, qq, grid) ** 2))(q)
+    g_got = jax.grad(
+        lambda qq: jnp.sum(spread_blocks_2d(m_u0, qq, grid, 4, 4, True) ** 2)
+    )(q)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=2e-3)

@@ -54,6 +54,7 @@ def test_kappa_invariance(setup):
     assert abs(e1 - e2) < 0.3
 
 
+@pytest.mark.slow
 def test_translation_invariance(setup):
     s, pairs = setup
     pos = jnp.asarray(s["positions"])
@@ -64,6 +65,7 @@ def test_translation_invariance(setup):
     np.testing.assert_allclose(e1, e0, atol=0.02)
 
 
+@pytest.mark.slow
 def test_rotation_invariance(setup):
     s, pairs = setup
     # rotate by 90 degrees about z: cubic box maps onto itself
@@ -76,6 +78,7 @@ def test_rotation_invariance(setup):
     np.testing.assert_allclose(e1, e0, rtol=1e-7)
 
 
+@pytest.mark.slow
 def test_kappa_invariance_grid_converged(setup):
     """Tightened variant: with oversized meshes (mesh error << truncation
     error) and a larger kappa pair, the total must agree ~1000x tighter than
@@ -93,6 +96,7 @@ def test_kappa_invariance_grid_converged(setup):
     assert abs(e1 - e2) < 3e-4, (e1, e2)
 
 
+@pytest.mark.slow
 def test_translation_invariance_grid_converged(setup):
     """Sub-grid translation symmetry breaking decays like the B-spline
     interpolation error (order-6: h^6-ish): doubling the mesh must push the

@@ -15,6 +15,8 @@ from admp_tpu import ADMPPmeForce, convert_cart2harm, neighbor_list_dense
 from admp_tpu.settings import EngineConfig
 from tests.watergen import water_arrays
 
+pytestmark = pytest.mark.slow
+
 M_SCALES = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0])
 
 

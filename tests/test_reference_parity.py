@@ -20,6 +20,8 @@ import jax.numpy as jnp
 
 from tests.watergen import water_arrays
 
+pytestmark = pytest.mark.slow
+
 KAPPA = 0.657065221219616
 M_SCALES = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0])
 
