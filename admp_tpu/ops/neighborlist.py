@@ -353,8 +353,18 @@ def neighbor_list_cell(positions, box, cutoff, capacity=None, cell_capacity=None
         # kernel at all, so allocation pays ZERO probe compiles (round-2: the
         # count-probe compile was most of the remaining 50 s wall at 98k
         # atoms through the remote-compile tunnel). ~0.5 s in numpy at 98k.
+        # Fetch accelerator-resident arrays as f32: pulling emulated-f64
+        # arrays off the remote TPU can hang, and the count only sizes a
+        # capacity that already carries 25% padding.
+        def _fetch(x):
+            if hasattr(x, "devices") and any(
+                d.platform != "cpu" for d in x.devices()
+            ) and x.dtype == jnp.float64:
+                x = x.astype(jnp.float32)
+            return np.asarray(x, np.float64)
+
         n_real = _host_pair_count(
-            np.asarray(positions), np.asarray(box), float(cutoff), n_cells
+            _fetch(positions), _fetch(box), float(cutoff), n_cells
         )
         want = int(int(n_real) * padding)
         # coarse shape buckets: multiples of max(1024, 2^(log2(want)-3)) — at

@@ -37,6 +37,34 @@ def _tree_dot(a, b):
     return jax.tree_util.tree_reduce(jnp.add, leaves)
 
 
+def _pcg_fixed(matvec, b, precond, x0, n_iters, tol_field, site_mask):
+    """Statically-unrolled PCG: exactly ``n_iters`` iterations, no
+    while_loop. The absence of dynamic control flow lets XLA fuse/overlap the
+    iterations with the surrounding energy graph (warm-started MD needs 0-2
+    iterations; extra ones are harmless). Convergence is REPORTED from the
+    final residual, not enforced."""
+    r = b - matvec(x0)
+    z = precond(r)
+    p = z
+    rz = _tree_dot(r, z)
+    x = x0
+    for _ in range(n_iters):
+        ap = matvec(p)
+        p_ap = _tree_dot(p, ap)
+        alpha = jnp.where(
+            p_ap != 0.0, rz / jnp.where(p_ap == 0.0, 1.0, p_ap), 0.0
+        )
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = _tree_dot(r, z)
+        beta = jnp.where(rz != 0.0, rz_new / jnp.where(rz == 0.0, 1.0, rz), 0.0)
+        p = z + beta * p
+        rz = rz_new
+    resid = jnp.max(jnp.abs(r * site_mask))
+    return x, resid < tol_field, jnp.asarray(n_iters, jnp.int32)
+
+
 def _pcg(matvec, b, precond, x0, max_iter, tol_field, site_mask):
     """Preconditioned CG on A x = b; terminates when the *field residual*
     max |A x - b| over polarizable sites drops below tol_field (the reference's
@@ -147,6 +175,11 @@ def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig(),
                 matvec, b, diag, u0, config.max_iter, config.field_tol, site_mask
             )
         precond = lambda r: r * diag
+        if config.fixed_iters is not None:
+            return _pcg_fixed(
+                matvec, b, precond, u0, config.fixed_iters, config.field_tol,
+                site_mask,
+            )
         return _pcg(
             matvec, b, precond, u0, config.max_iter, config.field_tol, site_mask
         )
@@ -178,15 +211,22 @@ def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig(),
         precond = lambda r: r * diag
         # adjoint solve A w = g (A symmetric); relative tolerance on the cotangent
         g_scale = jnp.maximum(jnp.max(jnp.abs(g)), 1e-30)
-        w, _, _ = _pcg(
-            matvec,
-            g,
-            precond,
-            jnp.zeros_like(g),
-            4 * config.max_iter,
-            config.adjoint_tol * g_scale,
-            jnp.ones_like(site_mask),
-        )
+        if config.adjoint_fixed_iters is not None:
+            w, _, _ = _pcg_fixed(
+                matvec, g, precond, jnp.zeros_like(g),
+                config.adjoint_fixed_iters, config.adjoint_tol * g_scale,
+                jnp.ones_like(site_mask),
+            )
+        else:
+            w, _, _ = _pcg(
+                matvec,
+                g,
+                precond,
+                jnp.zeros_like(g),
+                4 * config.max_iter,
+                config.adjoint_tol * g_scale,
+                jnp.ones_like(site_mask),
+            )
         # theta_bar = - (d field / d theta)^T w  evaluated at u*
         _, vjp_fn = jax.vjp(lambda inp: field_fn(u_star, inp), inputs)
         (inputs_bar,) = vjp_fn(-w)

@@ -80,6 +80,17 @@ class SCFConfig:
     method: str = "pcg"
     max_iter: int = MAX_N_POL
     field_tol: float = POL_CONV
+    # fixed_iters: run exactly this many PCG iterations as a STATIC unrolled
+    # sequence instead of a lax.while_loop — no dynamic control flow, so XLA
+    # can fuse/overlap the iterations with the surrounding energy graph.
+    # Intended for warm-started MD (0-2 iterations suffice along a
+    # trajectory); the convergence flag then reports the FINAL residual
+    # against field_tol rather than gating the loop. None = while_loop.
+    fixed_iters: int | None = None
+    # same for the implicit-adjoint solve inside each force evaluation
+    # (diagonally-preconditioned PCG reaches ~1e-8 relative in a handful of
+    # iterations on liquid water; measure per system before trusting fewer)
+    adjoint_fixed_iters: int | None = None
     pol_eps: float = 0.001  # sites with pol below this do not count for convergence
     # relative tolerance of the implicit-adjoint PCG solve inside each force
     # evaluation (residual / max|cotangent|); 1e-8 is f64-grade exactness,

@@ -72,9 +72,12 @@ def main():
         "/root/reference/examples/water_1024/water1024.pdb",
         "/root/reference/examples/water_1024/mpidwater.xml",
     )
-    pos64 = jnp.asarray(s.positions, jnp.float64)
-    box64 = jnp.asarray(s.box, jnp.float64)
     with jax.default_device(cpu):
+        # keep the NL arrays CPU-committed: f64 arrays created on the
+        # accelerator would drag the cell kernels through the emulated-f64
+        # remote-compile path (observed hanging for >30 min in round 3)
+        pos64 = jax.device_put(jnp.asarray(s.positions, jnp.float64), cpu)
+        box64 = jax.device_put(jnp.asarray(s.box, jnp.float64), cpu)
         nl = neighbor_list_cell(pos64, box64, 4.0)
     pairs = np.asarray(nl.pairs)
     q64 = convert_cart2harm(jnp.asarray(s.q_cart, jnp.float64), 2)
