@@ -9,8 +9,9 @@ f32 vector units:
 
 * DS B-spline weight pipeline (the piece polynomials of ops/bsplines.py with
   DS-split coefficients) — kills the 3.6e-4 weight-rounding term.
-* float64 mesh accumulation for the scatter only (the one op with no
-  compensated formulation), split back to a DS pair for everything after.
+* exact fixed-point two-pass f32 scatter for the mesh accumulation (no
+  float64 anywhere — the quantized pass is error-free by construction, the
+  residual pass rounds at ~2^-26 of the mesh scale).
 * DS radix-2 complex FFT ("compensated butterflies"): exact-split twiddle
   constants, DS complex arithmetic — no hardware-FFT rounding anywhere.
 * DS influence convolution and pairwise-tree Parseval sum.
@@ -25,8 +26,8 @@ f32 vector units:
 Scope: electrostatic PME (ck_1 influence, gamma excluded), order-6 splines,
 lmax <= 2, power-of-two-factorable grids (radix-2 FFT; use
 EngineConfig.fft_friendly_grid or an explicit K). Differentiable w.r.t.
-positions and multipoles; the box is guarded (differentiating it raises, as
-with cache_influence). Requires jax_enable_x64 for the f64 scatter step.
+positions and multipoles; the box is guarded (warn + zero tangent, as with
+cache_influence). x64-free: runs in pure float32 pipelines.
 
 Reference for the math being reproduced: admp/recip.py:21-431 (the spreading
 pipeline and Parseval energy); the DS design is original to this engine.
@@ -99,49 +100,139 @@ def _cmul(ar, ai, br, bi):
     return rr, ri
 
 
-def ds_fft_last(re, im, n: int):
-    """DS complex FFT along the LAST axis (length n, power of two).
+def ds_fft_lead(re, im, n: int):
+    """DS complex FFT along the LEADING axis (length n, power of two).
 
-    re/im: DS arrays (..., n). Returns (re, im) DS of the full spectrum.
-    Cooley-Tukey DIT by recursion on even/odd interleave; each level is one
-    vectorized DS complex multiply-add over the whole array.
+    Cooley-Tukey DIT by even/odd recursion; every split/concat runs on the
+    major axis, so on TPU the minor (lane) dimension stays contiguous —
+    last-axis strided slicing would shuffle lanes at every one of the log2(n)
+    levels. Twiddles are exact-split f64 constants broadcast over the minor
+    axes.
     """
     if n == 1:
         return re, im
-    assert n % 2 == 0, "ds_fft_last requires power-of-two lengths"
-    er, ei = ds_fft_last((re[0][..., ::2], re[1][..., ::2]),
-                         (im[0][..., ::2], im[1][..., ::2]), n // 2)
-    orr, oi = ds_fft_last((re[0][..., 1::2], re[1][..., 1::2]),
-                          (im[0][..., 1::2], im[1][..., 1::2]), n // 2)
+    assert n % 2 == 0, "ds_fft_lead requires power-of-two lengths"
+    er, ei = ds_fft_lead((re[0][0::2], re[1][0::2]),
+                         (im[0][0::2], im[1][0::2]), n // 2)
+    orr, oi = ds_fft_lead((re[0][1::2], re[1][1::2]),
+                          (im[0][1::2], im[1][1::2]), n // 2)
     wr, wi = _twiddles(n)
-    wr = ds._bc(wr, er)
-    wi = ds._bc(wi, er)
+    shape = (n // 2,) + (1,) * (er[0].ndim - 1)
+    wr = (wr[0].reshape(shape), wr[1].reshape(shape))
+    wi = (wi[0].reshape(shape), wi[1].reshape(shape))
     tr, ti = _cmul(orr, oi, wr, wi)
     top_r = ds.add(er, tr)
     top_i = ds.add(ei, ti)
     bot_r = ds.sub(er, tr)
     bot_i = ds.sub(ei, ti)
     return (
-        (jnp.concatenate([top_r[0], bot_r[0]], axis=-1),
-         jnp.concatenate([top_r[1], bot_r[1]], axis=-1)),
-        (jnp.concatenate([top_i[0], bot_i[0]], axis=-1),
-         jnp.concatenate([top_i[1], bot_i[1]], axis=-1)),
+        (jnp.concatenate([top_r[0], bot_r[0]], axis=0),
+         jnp.concatenate([top_r[1], bot_r[1]], axis=0)),
+        (jnp.concatenate([top_i[0], bot_i[0]], axis=0),
+         jnp.concatenate([top_i[1], bot_i[1]], axis=0)),
     )
+
+
+def ds_fft_last(re, im, n: int):
+    """DS complex FFT along the last axis (wrapper over the leading-axis
+    kernel: one transpose in, one out)."""
+    re_m = _move_lead(re, re[0].ndim - 1)
+    im_m = _move_lead(im, im[0].ndim - 1)
+    re_m, im_m = ds_fft_lead(re_m, im_m, n)
+    back = lambda a: (jnp.moveaxis(a[0], 0, -1), jnp.moveaxis(a[1], 0, -1))
+    return back(re_m), back(im_m)
+
+
+def _move_lead(a, axis):
+    return (jnp.moveaxis(a[0], axis, 0), jnp.moveaxis(a[1], axis, 0))
 
 
 def _move_last(a, axis):
     return (jnp.moveaxis(a[0], axis, -1), jnp.moveaxis(a[1], axis, -1))
 
 
+def _neg_index_map(x, axis):
+    """x[(-k) % K] along ``axis``: flip then roll by one."""
+    return jnp.roll(jnp.flip(x, axis), 1, axis)
+
+
+def ds_rfft3(mesh):
+    """DS real-input 3D FFT -> half spectrum (K1, K2, K3//2 + 1) complex DS.
+
+    The z axis is transformed with the classic even/odd complex packing (one
+    DS FFT of length K3/2 + an untangle), then axes 1 and 0 run the complex
+    DS FFT on the K3h-column half arrays — ~2x the work of the full-spectrum
+    ds_fft3 saved in the transform AND in everything downstream (influence
+    multiply, Parseval sum).
+    """
+    k1, k2, k3 = mesh[0].shape
+    m = k3 // 2
+    # bring z to the FRONT once; every subsequent slice is major-axis
+    tz = lambda x: jnp.transpose(x, (2, 0, 1))
+    mz = (tz(mesh[0]), tz(mesh[1]))          # (K3, K1, K2)
+    re = (mz[0][0::2], mz[1][0::2])          # pack z[2c] + i z[2c+1]
+    im = (mz[0][1::2], mz[1][1::2])
+    zr, zi = ds_fft_lead(re, im, m)
+    # conj(Z_{-k mod m})
+    zmr = (_neg_index_map(zr[0], 0), _neg_index_map(zr[1], 0))
+    zmi = (_neg_index_map(zi[0], 0), _neg_index_map(zi[1], 0))
+    er = ds.mul_pow2(ds.add(zr, zmr), 0.5)
+    ei = ds.mul_pow2(ds.sub(zi, zmi), 0.5)
+    orr = ds.mul_pow2(ds.add(zi, zmi), 0.5)
+    oi = ds.mul_pow2(ds.neg(ds.sub(zr, zmr)), 0.5)
+    ang = -2.0 * np.pi * np.arange(m) / k3
+    wc = ds.from_f64(np.cos(ang))
+    ws = ds.from_f64(np.sin(ang))
+    shape = (m, 1, 1)
+    wr = (wc[0].reshape(shape), wc[1].reshape(shape))
+    wi = (ws[0].reshape(shape), ws[1].reshape(shape))
+    tr, ti = _cmul(orr, oi, wr, wi)
+    xr = ds.add(er, tr)
+    xi = ds.add(ei, ti)
+    # Nyquist mode: E and O are m-periodic -> X_{K3/2} = E_0 - O_0
+    nyq_r = ds.sub((er[0][:1], er[1][:1]), (orr[0][:1], orr[1][:1]))
+    nyq_i = ds.sub((ei[0][:1], ei[1][:1]), (oi[0][:1], oi[1][:1]))
+    s_re = (jnp.concatenate([xr[0], nyq_r[0]], 0),
+            jnp.concatenate([xr[1], nyq_r[1]], 0))
+    s_im = (jnp.concatenate([xi[0], nyq_i[0]], 0),
+            jnp.concatenate([xi[1], nyq_i[1]], 0))
+    # now (K3h, K1, K2): FFT over K1 (axis 1) then K2 (axis 2)
+    for axis in (1, 2):
+        re_m = _move_lead(s_re, axis)
+        im_m = _move_lead(s_im, axis)
+        n = re_m[0].shape[0]
+        re_m, im_m = ds_fft_lead(re_m, im_m, n)
+        s_re = (jnp.moveaxis(re_m[0], 0, axis), jnp.moveaxis(re_m[1], 0, axis))
+        s_im = (jnp.moveaxis(im_m[0], 0, axis), jnp.moveaxis(im_m[1], 0, axis))
+    # back to (K1, K2, K3h)
+    tb = lambda x: jnp.transpose(x, (1, 2, 0))
+    return (tb(s_re[0]), tb(s_re[1])), (tb(s_im[0]), tb(s_im[1]))
+
+
+def _hermitian_fill(s_re, s_im, k3: int):
+    """Reconstruct the FULL z spectrum from the half one:
+    X[k1, k2, j] = conj(X[(-k1) % K1, (-k2) % K2, K3 - j]) for j >= K3h."""
+    k3h = k3 // 2 + 1
+
+    def fill(x, sign):
+        body = jnp.flip(x[:, :, 1:k3h - 1], 2)        # j = k3h .. K3-1
+        body = _neg_index_map(_neg_index_map(body, 0), 1)
+        return jnp.concatenate([x, sign * body], axis=2)
+
+    re = (fill(s_re[0], 1.0), fill(s_re[1], 1.0))
+    im = (fill(s_im[0], -1.0), fill(s_im[1], -1.0))
+    return re, im
+
+
 def ds_fft3(re, im):
     """DS complex 3D FFT of (K1, K2, K3) DS arrays (all power-of-two)."""
     for axis in (2, 1, 0):
-        re_m = _move_last(re, axis)
-        im_m = _move_last(im, axis)
-        n = re_m[0].shape[-1]
-        re_m, im_m = ds_fft_last(re_m, im_m, n)
-        re = (jnp.moveaxis(re_m[0], -1, axis), jnp.moveaxis(re_m[1], -1, axis))
-        im = (jnp.moveaxis(im_m[0], -1, axis), jnp.moveaxis(im_m[1], -1, axis))
+        re_m = _move_lead(re, axis)
+        im_m = _move_lead(im, axis)
+        n = re_m[0].shape[0]
+        re_m, im_m = ds_fft_lead(re_m, im_m, n)
+        re = (jnp.moveaxis(re_m[0], 0, axis), jnp.moveaxis(re_m[1], 0, axis))
+        im = (jnp.moveaxis(im_m[0], 0, axis), jnp.moveaxis(im_m[1], 0, axis))
     return re, im
 
 
@@ -200,13 +291,17 @@ def _bcn(c, n):
     return (jnp.broadcast_to(c[0], (n,)), jnp.broadcast_to(c[1], (n,)))
 
 
-def _kspace_weights_ds(box, grid_shape, kappa):
-    """DS influence weight grid w(k) = C(k^2)/theta^2 over the FULL spectrum
-    (k = 0 excluded -> weight 0). C = ck_1 = 2 pi exp(-k^2/4 kappa^2)/(V k^2).
-    """
+def _kspace_weights_ds(box, grid_shape, kappa, rfft: bool = False):
+    """DS influence weight grid w(k) = C(k^2)/theta^2 (k = 0 excluded ->
+    weight 0). C = ck_1 = 2 pi exp(-k^2/4 kappa^2)/(V k^2). With ``rfft`` the
+    last axis covers only the K3//2+1 non-negative z modes (pair with the
+    Hermitian multiplicity vector for Parseval sums)."""
     k1, k2, k3 = grid_shape
     binv, det = _ds_inv3x3(_ds_box(box))
-    f1, f2, f3 = _int_freqs(k1), _int_freqs(k2), _int_freqs(k3)
+    f1, f2 = _int_freqs(k1), _int_freqs(k2)
+    f3 = (np.arange(k3 // 2 + 1, dtype=np.float64) if rfft
+          else _int_freqs(k3))
+    k3n = f3.shape[0]
 
     # kvec_c = 2 pi (f1 binv[0][c] + f2 binv[1][c] + f3 binv[2][c]);
     # integer frequencies are exact in f32
@@ -214,7 +309,7 @@ def _kspace_weights_ds(box, grid_shape, kappa):
     for c in range(3):
         t1 = ds.mul_f(_bcn(binv[0][c], k1), jnp.asarray(f1, jnp.float32))
         t2 = ds.mul_f(_bcn(binv[1][c], k2), jnp.asarray(f2, jnp.float32))
-        t3 = ds.mul_f(_bcn(binv[2][c], k3), jnp.asarray(f3, jnp.float32))
+        t3 = ds.mul_f(_bcn(binv[2][c], k3n), jnp.asarray(f3, jnp.float32))
         kc = ds.add(
             ds.add((t1[0][:, None, None], t1[1][:, None, None]),
                    (t2[0][None, :, None], t2[1][None, :, None])),
@@ -227,7 +322,7 @@ def _kspace_weights_ds(box, grid_shape, kappa):
     # theta^2: separable exact-constant product
     t1 = _euler_theta_sq_axis(k1)
     t2 = _euler_theta_sq_axis(k2)
-    t3 = _euler_theta_sq_axis(k3)
+    t3 = _euler_theta_sq_axis(k3)[:k3n]
     theta = np.einsum("i,j,k->ijk", t1, t2, t3)
     theta_sq = ds.from_f64((theta * theta).astype(np.float64))
 
@@ -410,6 +505,31 @@ def _x64():
     return jax.config.jax_enable_x64
 
 
+def _fp_scatter_ds(flat, qp, size, grid_shape):
+    """Exact-to-~2^-26 mesh accumulation with two plain f32 scatters.
+
+    Fixed-point trick: quantize every stencil value to a power-of-two quantum
+    u sized so that all quantized values AND their per-point sums are exactly
+    representable in f32 (multiples of u below 2^24 u) — that scatter is
+    error-free regardless of accumulation order. The residuals (|r| <= u/2)
+    go through a second f32 scatter whose rounding is ~2^-26 relative to the
+    mesh scale. No float64 anywhere (the earlier design used an
+    emulated-f64 scatter, the engine's one x64-dependent op).
+    """
+    hi, lo = qp
+    vmax = jnp.max(jnp.abs(hi))
+    # quantum = 2^(ceil(log2(vmax)) + 14 - 23): 2^14 headroom covers the
+    # per-point accumulation depth (order^3-deep worst case) with margin
+    expo = jnp.ceil(jnp.log2(jnp.maximum(vmax, 1e-30))).astype(jnp.int32)
+    u = jnp.ldexp(jnp.float32(1.0), expo - 9)
+    q1 = jnp.round(hi / u) * u          # exact ops: u is a power of two
+    r = (hi - q1) + lo                  # |hi - q1| <= u/2: subtraction exact
+    zero = jnp.zeros((size,), jnp.float32)
+    mesh1 = zero.at[flat].add(q1.reshape(-1)).reshape(grid_shape)
+    mesh2 = zero.at[flat].add(r.reshape(-1)).reshape(grid_shape)
+    return ds.two_sum(mesh1, mesh2)
+
+
 def _fwd_pieces(positions, box, q_harm, kappa, grid_shape, lmax):
     k1, k2, k3 = grid_shape
     m_u0, u0, binv = _ds_mesh_coords(positions, box, grid_shape)
@@ -418,29 +538,26 @@ def _fwd_pieces(positions, box, q_harm, kappa, grid_shape, lmax):
     alphas = _ds_alpha(q_harm, mixing, n_t, lmax)
     qp = _ds_q_points(alphas, tabs4[:3], lmax)
     flat = _flat_stencil(m_u0, grid_shape).reshape(-1)
-    if _x64():
-        vals = qp[0].astype(jnp.float64) + qp[1].astype(jnp.float64)
-        mesh = jnp.zeros((k1 * k2 * k3,), jnp.float64)
-        mesh = mesh.at[flat].add(vals.reshape(-1)).reshape(grid_shape)
-        hi = mesh.astype(jnp.float32)
-        lo = (mesh - hi.astype(jnp.float64)).astype(jnp.float32)
-    else:
-        # x64-free fallback: scatter hi and lo parts separately — the hi-mesh
-        # f32 accumulation order costs ~sqrt(overlap) eps of mesh accuracy
-        # (~3e-7); prefer x64 for the full DS guarantee
-        zero = jnp.zeros((k1 * k2 * k3,), jnp.float32)
-        hi = zero.at[flat].add(qp[0].reshape(-1)).reshape(grid_shape)
-        lo = zero.at[flat].add(qp[1].reshape(-1)).reshape(grid_shape)
-    mesh_ds = ds.quick_two_sum(hi, lo)
-    zero_im = (jnp.zeros_like(mesh_ds[0]), jnp.zeros_like(mesh_ds[1]))
-    s_re, s_im = ds_fft3(mesh_ds, zero_im)
-    w = _kspace_weights_ds(box, grid_shape, kappa)
+    mesh_ds = _fp_scatter_ds(flat, qp, k1 * k2 * k3, grid_shape)
+    s_re, s_im = ds_rfft3(mesh_ds)
+    w = _kspace_weights_ds(box, grid_shape, kappa, rfft=True)
     return m_u0, tabs4, mixing, n_t, alphas, binv, s_re, s_im, w
 
 
-def _energy_from_spectrum(s_re, s_im, w, prefactor):
+def _hermitian_mult(k3: int):
+    """Multiplicity of each rfft z mode in the full spectrum (1, 2, ..., 1)."""
+    k3h = k3 // 2 + 1
+    m = np.full((k3h,), 2.0, np.float32)
+    m[0] = 1.0
+    m[-1] = 1.0
+    return jnp.asarray(m)
+
+
+def _energy_from_spectrum(s_re, s_im, w, prefactor, k3: int):
     s_sq = ds.add(ds.mul(s_re, s_re), ds.mul(s_im, s_im))
-    e = ds.sum_pairs(ds.mul(w, s_sq))
+    terms = ds.mul(w, s_sq)
+    terms = ds.mul_f(terms, _hermitian_mult(k3)[None, None, :])
+    e = ds.sum_pairs(terms)
     e = ds.mul(e, ds._bc(ds.from_f64(prefactor), e))
     return e
 
@@ -468,7 +585,7 @@ def make_ds_pme_recip(kappa, grid_shape, lmax: int,
         *_rest, s_re, s_im, w = _fwd_pieces(
             positions, box, q_harm, kappa, grid_shape, lmax
         )
-        e = _energy_from_spectrum(s_re, s_im, w, prefactor)
+        e = _energy_from_spectrum(s_re, s_im, w, prefactor, grid_shape[2])
         if _x64():
             return e[0].astype(jnp.float64) + e[1].astype(jnp.float64)
         return e[0]
@@ -477,7 +594,7 @@ def make_ds_pme_recip(kappa, grid_shape, lmax: int,
         m_u0, tabs4, mixing, n_t, alphas, binv, s_re, s_im, w = _fwd_pieces(
             positions, box, q_harm, kappa, grid_shape, lmax
         )
-        e = _energy_from_spectrum(s_re, s_im, w, prefactor)
+        e = _energy_from_spectrum(s_re, s_im, w, prefactor, grid_shape[2])
         out = (e[0].astype(jnp.float64) + e[1].astype(jnp.float64)
                if _x64() else e[0])
         t_re = ds.mul(w, s_re)
@@ -491,7 +608,11 @@ def make_ds_pme_recip(kappa, grid_shape, lmax: int,
         n_h = (lmax + 1) ** 2
         n_t = len(alphas)
 
-        # potential mesh: dE/dmesh = 2 Re F(conj(w S)), x DIELECTRIC
+        # potential mesh: dE/dmesh = 2 Re F(conj(w S)), x DIELECTRIC.
+        # T = w S is Hermitian (w real-symmetric, S Hermitian): reconstruct
+        # the full z spectrum from the half one, then run the full complex
+        # transform
+        t_re, t_im = _hermitian_fill(t_re, t_im, grid_shape[2])
         p_re, _p_im = ds_fft3(t_re, ds.neg(t_im))
         pot = ds.mul_f(p_re, jnp.float32(2.0))
         pot = ds.mul(pot, ds._bc(ds.from_f64(prefactor), pot))

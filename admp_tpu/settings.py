@@ -204,8 +204,9 @@ class EngineConfig:
         """Preset for <1e-6 force RMSE at near-f32 cost: the double-single
         reciprocal engine + float64 delta correction of close pairs. The
         heavy O(K^3 log K) and O(pairs) work stays on native f32 datapaths;
-        only the f64 mesh scatter and the compacted close-pair pass use
-        emulated f64 (requires jax_enable_x64)."""
+        only the compacted close-pair delta pass uses emulated f64
+        (jax_enable_x64 needed for 'f64-near'; the 'ds' reciprocal engine
+        itself is x64-free)."""
         base = dict(
             recip_precision="ds",
             realspace_precision="f64-near",
