@@ -34,6 +34,11 @@ try:  # pragma: no cover - exercised on TPU
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
+# index-map literals must be int32: under jax_enable_x64 a bare `0` traces
+# as an i64 constant and Mosaic cannot legalize the transform function's
+# `func.return (i64)` (np scalar keeps its dtype through tracing)
+_I0 = np.int32(0)
+
 HALO = 5          # stencil extent - 1 (order-6 spline touches 6 points/axis)
 _YW = 16          # aligned window extent in the sublane (y) dimension
 _ZW = 256         # aligned window extent in the lane (z) dimension
@@ -64,6 +69,12 @@ def _make_spread_kernel(order: int, n_ch: int):
         out_ref[...] = jnp.zeros_like(out_ref)
         count = counts_ref[pl.program_id(0)]
         a_max = m_u0_ref.shape[1]
+        # int32 loop bounds: under jax_enable_x64 python-int bounds make the
+        # induction variable int64, and Mosaic's int64 convert_element_type
+        # lowering rule recurses without terminating (observed as
+        # RecursionError on every x64 run that reaches this kernel)
+        lo = jnp.asarray(0, jnp.int32)
+        hi = jnp.asarray(a_max, jnp.int32)
 
         y_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _YW, 1), 1)
         z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _ZW), 2)
@@ -74,8 +85,14 @@ def _make_spread_kernel(order: int, n_ch: int):
                 x0 = m_u0_ref[0, k, 0]
                 y0 = m_u0_ref[0, k, 1]
                 z0 = m_u0_ref[0, k, 2]
-                yb = (y0 // 8) * 8
-                zb = (z0 // 128) * 128
+                # lax.div, not //: jnp.floor_divide wraps python-int literals
+                # in an i64 helper under jax_enable_x64, and Mosaic's
+                # int64->f32 convert rule recurses forever (indices are
+                # non-negative, so truncating division IS floor division)
+                eight = jnp.asarray(8, jnp.int32)
+                o28 = jnp.asarray(128, jnp.int32)
+                yb = jax.lax.div(y0, eight) * eight
+                zb = jax.lax.div(z0, o28) * o28
                 yo = y0 - yb
                 zo = z0 - zb
                 blk = q_ref[0, k]  # (C*order, order^2)
@@ -98,9 +115,9 @@ def _make_spread_kernel(order: int, n_ch: int):
                     out_ref[
                         0, c, pl.ds(x0, order), pl.ds(yb, _YW), pl.ds(zb, _ZW)
                     ] = cur + upd[c * order:(c + 1) * order]
-            return 0
+            return jnp.asarray(0, jnp.int32)
 
-        jax.lax.fori_loop(0, a_max, body, 0)
+        jax.lax.fori_loop(lo, hi, body, jnp.asarray(0, jnp.int32))
 
     return kernel
 
@@ -160,17 +177,21 @@ def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False,
         _make_spread_kernel(order, n_ch),
         grid=(n_slabs,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, cap, 3), lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
+            # explicit int32 index map: the synthesized default for a
+            # whole-array SMEM spec returns an i64 literal under x64,
+            # which Mosaic cannot legalize (func.return (i64))
+            pl.BlockSpec((n_slabs,), lambda p: (_I0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cap, 3), lambda p: (p, _I0, _I0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, cap, n_ch * order, order * order),
-                lambda p: (p, 0, 0, 0),
+                lambda p: (p, _I0, _I0, _I0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, n_ch, width + halo, k2pad, k3pad),
-            lambda p: (p, 0, 0, 0, 0),
+            lambda p: (p, _I0, _I0, _I0, _I0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
@@ -423,18 +444,19 @@ def _pallas_spread2d_impl(m_u0, q_points, grid_shape, nx, ny, interpret=False,
         _make_spread_kernel(order, n_ch),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, cap, 3), lambda p: (p, 0, 0),
+            pl.BlockSpec((nb,), lambda p: (_I0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cap, 3), lambda p: (p, _I0, _I0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, cap, n_ch * order, order * order),
-                lambda p: (p, 0, 0, 0),
+                lambda p: (p, _I0, _I0, _I0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, n_ch, wx + halo, wy + _YW, k3pad),
-            lambda p: (p, 0, 0, 0, 0),
+            lambda p: (p, _I0, _I0, _I0, _I0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(

@@ -22,8 +22,19 @@ OUT = pathlib.Path(__file__).with_suffix(".out")
 
 
 def main():
+    import time as _t
+
     import jax
     import jax.numpy as jnp
+
+    # the first device fetch after TPU init occasionally FAILED_PRECONDITIONs
+    # through the tunnel; poke-and-retry before real work
+    for attempt in range(5):
+        try:
+            float(jnp.zeros(()) + 1.0)
+            break
+        except Exception:  # noqa: BLE001
+            _t.sleep(20.0)
 
     from admp_tpu import ADMPPmeForce, SCFConfig, convert_cart2harm
     from admp_tpu.ops.neighborlist import neighbor_list_cell

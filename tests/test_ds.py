@@ -63,6 +63,7 @@ def test_ds_fft_matches_f64():
     assert err.max() / np.abs(ref).max() < 1e-13
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("lmax", [0, 1, 2])
 def test_ds_recip_energy_and_forces_vs_f64(lmax):
     """The DS reciprocal engine vs the f64 oracle at identical
@@ -141,6 +142,7 @@ def test_cached_influence_box_gradient_warns_and_zeros():
     np.testing.assert_array_equal(np.asarray(gb), 0.0)
 
 
+@pytest.mark.slow
 def test_f64_near_mode_small_system():
     """realspace_precision='f64-near' + recip 'ds' on a small box: forces an
     order of magnitude closer to the f64 oracle than plain f32."""

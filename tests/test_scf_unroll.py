@@ -2,12 +2,14 @@
 same converged dipoles and forces on a small polarizable box."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from admp_tpu import ADMPPmeForce, SCFConfig, convert_cart2harm
 from admp_tpu.systems import water_system
 
 
+@pytest.mark.slow
 def test_fixed_iters_matches_while_loop():
     s = water_system(n_side=2, spacing=3.1, jitter=0.12, seed=0)
     n = s["positions"].shape[0]
