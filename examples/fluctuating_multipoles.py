@@ -120,20 +120,42 @@ def main():
                 positions, box, pairs, fluctuating_q_local(positions), m_scales
             )
 
+    lines = []
+
+    def emit(msg):
+        print(msg, flush=True)
+        lines.append(str(msg))
+
+    # report which spread path 'auto' resolves to (CLAUDE.md: perf triage)
+    if not args.sharded:
+        from admp_tpu.ops.reciprocal import _pallas_spread_slabs
+        from admp_tpu.ops.pallas.spread import pick_blocks_2d
+
+        gs = (force.K1, force.K2, force.K3)
+        slabs = _pallas_spread_slabs(gs, jnp.float32, 6, 1, n)
+        blocks = None if slabs else pick_blocks_2d(gs, 6, 1, n)
+        path = (f"pallas-1d({slabs} slabs)" if slabs
+                else f"pallas-2d{blocks}" if blocks else "xla-scatter")
+        emit(f"grid {gs}, spread path (auto, f32 TPU): {path}")
+
     step = jax.jit(jax.value_and_grad(energy))
     t0 = time.time()
     e, f = step(pos0)
     jax.block_until_ready(f)
-    print(f"E = {float(e):.4f} kJ/mol  (compile+run {time.time()-t0:.1f}s)")
+    emit(f"E = {float(e):.4f} kJ/mol  (compile+run {time.time()-t0:.1f}s)")
     times = []
     for _ in range(3):
         t0 = time.time()
         e, f = step(pos0)
         jax.block_until_ready(f)
         times.append(time.time() - t0)
-    print(f"energy+force (incl. fluctuating multipoles): "
-          f"{np.median(times)*1e3:.1f} ms/step")
-    print(f"|F| rms = {float(jnp.sqrt(jnp.mean(f**2))):.4f} kJ/mol/A")
+    emit(f"energy+force (incl. fluctuating multipoles): "
+         f"{np.median(times)*1e3:.1f} ms/step")
+    emit(f"|F| rms = {float(jnp.sqrt(jnp.mean(f**2))):.4f} kJ/mol/A")
+    if args.n_side >= 32 and not args.cpu:
+        out = pathlib.Path(__file__).parent / "fluctuating_98k_tpu.out"
+        out.write_text("\n".join(lines) + "\n")
+        emit(f"# wrote {out}")
 
 
 if __name__ == "__main__":
