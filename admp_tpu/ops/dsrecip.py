@@ -236,6 +236,68 @@ def ds_fft3(re, im):
     return re, im
 
 
+def ds_irfft3(s_re, s_im):
+    """Unnormalized inverse real 3D transform of a Hermitian HALF spectrum:
+    x_n = sum_k X_k e^{+2πi k·n/K} over the full k grid, returned as the real
+    (K1, K2, K3) DS mesh. Inverse counterpart of :func:`ds_rfft3`.
+
+    Replaces the backward pass's hermitian_fill + full ds_fft3 (which
+    transformed K3 z-columns through all three axes): axes 0/1 run on the
+    K3/2+1 half columns and the z axis is one length-K3/2 complex transform
+    plus the even/odd re-interleave — half the transform work."""
+    k3h = s_re[0].shape[2]
+    m = k3h - 1
+    k3 = 2 * m
+    # axes 0, 1: sum_k X e^{+2πi..} = conj(DFT(conj X)) — run the forward
+    # kernel on the conjugate, conjugate the result
+    for axis in (0, 1):
+        re_m = _move_lead(s_re, axis)
+        im_m = _move_lead(ds.neg(s_im), axis)
+        n = re_m[0].shape[0]
+        re_m, im_m = ds_fft_lead(re_m, im_m, n)
+        s_re = (jnp.moveaxis(re_m[0], 0, axis), jnp.moveaxis(re_m[1], 0, axis))
+        s_im = (jnp.moveaxis(-im_m[0], 0, axis),
+                jnp.moveaxis(-im_m[1], 0, axis))
+    # z untangle (inverse of ds_rfft3's packing): with
+    #   A_j = X_j + conj(X_{m-j}) = 2 E_j
+    #   B_j = (X_j - conj(X_{m-j})) e^{+2πi j/K3} = 2 O_j        (j = 0..m-1)
+    # the even/odd samples interleave as
+    #   x_{2t} + i x_{2t+1} = sum_j (A_j + i B_j) e^{+2πi jt/m}.
+    tz = lambda x: jnp.transpose(x, (2, 0, 1))       # (K3h, K1, K2)
+    xr = (tz(s_re[0]), tz(s_re[1]))
+    xi = (tz(s_im[0]), tz(s_im[1]))
+    head = lambda a: (a[0][:m], a[1][:m])            # j = 0..m-1
+    xjr, xji = head(xr), head(xi)
+    # conj(X_{m-j}), j = 0..m-1  (plain reversed slice — indices m-j run m..1,
+    # all within the stored half spectrum; no modular wrap needed)
+    rev = lambda a: (a[0][1:][::-1], a[1][1:][::-1])
+    xmr, xmi_ = rev(xr), rev(xi)
+    cr, ci = xmr, ds.neg(xmi_)
+    ar = ds.add(xjr, cr)
+    ai = ds.add(xji, ci)
+    dr = ds.sub(xjr, cr)
+    di = ds.sub(xji, ci)
+    ang = 2.0 * np.pi * np.arange(m) / k3            # +w: conj of rfft's
+    wc = ds.from_f64(np.cos(ang))
+    ws = ds.from_f64(np.sin(ang))
+    shape = (m, 1, 1)
+    wr = (wc[0].reshape(shape), wc[1].reshape(shape))
+    wi = (ws[0].reshape(shape), ws[1].reshape(shape))
+    br, bi = _cmul(dr, di, wr, wi)
+    zr = ds.add(ar, ds.neg(bi))                      # Z = A + iB
+    zi = ds.add(ai, br)
+    # z_t = sum_j Z_j e^{+2πi jt/m} = conj(DFT(conj Z))
+    zr, zi = ds_fft_lead(zr, ds.neg(zi), m)
+    zi = ds.neg(zi)
+    # interleave: x[2t] = Re z_t, x[2t+1] = Im z_t along the leading axis
+    def mix(re_p, im_p):
+        stacked = jnp.stack([re_p, im_p], axis=1)    # (m, 2, K1, K2)
+        return stacked.reshape((k3,) + re_p.shape[1:])
+    out = (mix(zr[0], zi[0]), mix(zr[1], zi[1]))
+    tb = lambda x: jnp.transpose(x, (1, 2, 0))       # back to (K1, K2, K3)
+    return (tb(out[0]), tb(out[1]))
+
+
 # ---------------------------------------------------------------------------
 # DS geometry / k-space
 # ---------------------------------------------------------------------------
@@ -530,7 +592,8 @@ def _fp_scatter_ds(flat, qp, size, grid_shape):
     return ds.two_sum(mesh1, mesh2)
 
 
-def _fwd_pieces(positions, box, q_harm, kappa, grid_shape, lmax):
+def _fwd_pieces(positions, box, q_harm, kappa, grid_shape, lmax,
+                w_cached=None):
     k1, k2, k3 = grid_shape
     m_u0, u0, binv = _ds_mesh_coords(positions, box, grid_shape)
     tabs4 = ds_spline_tables(u0)
@@ -540,7 +603,8 @@ def _fwd_pieces(positions, box, q_harm, kappa, grid_shape, lmax):
     flat = _flat_stencil(m_u0, grid_shape).reshape(-1)
     mesh_ds = _fp_scatter_ds(flat, qp, k1 * k2 * k3, grid_shape)
     s_re, s_im = ds_rfft3(mesh_ds)
-    w = _kspace_weights_ds(box, grid_shape, kappa, rfft=True)
+    w = (w_cached if w_cached is not None
+         else _kspace_weights_ds(box, grid_shape, kappa, rfft=True))
     return m_u0, tabs4, mixing, n_t, alphas, binv, s_re, s_im, w
 
 
@@ -563,12 +627,16 @@ def _energy_from_spectrum(s_re, s_im, w, prefactor, k3: int):
 
 
 def make_ds_pme_recip(kappa, grid_shape, lmax: int,
-                      prefactor: float = DIELECTRIC):
+                      prefactor: float = DIELECTRIC, static_box=None):
     """Build the DS reciprocal engine: (positions, box, q_harm) -> energy.
 
     Same contract as ops/reciprocal.make_pme_recip with ck_1/no-gamma
     (electrostatics); power-of-two grids only (radix-2 DS FFT). The energy is
     float64 under x64 (else float32); forces via the hand-written DS adjoint.
+
+    ``static_box``: fixed-cell fast path — precompute the DS k-space weights
+    grid at build time instead of every step (the engine already does not
+    track box gradients, see _ds_box_guard, so caching loses nothing).
     """
     grid_shape = tuple(int(k) for k in grid_shape)
     for k in grid_shape:
@@ -579,11 +647,16 @@ def make_ds_pme_recip(kappa, grid_shape, lmax: int,
     kappa = float(kappa)
     lmax = int(lmax)
     prefactor = float(prefactor)
+    w_cached = None
+    if static_box is not None:
+        w_cached = _kspace_weights_ds(
+            jnp.asarray(static_box, jnp.float32), grid_shape, kappa, rfft=True
+        )
 
     @jax.custom_vjp
     def energy(positions, box, q_harm):
         *_rest, s_re, s_im, w = _fwd_pieces(
-            positions, box, q_harm, kappa, grid_shape, lmax
+            positions, box, q_harm, kappa, grid_shape, lmax, w_cached
         )
         e = _energy_from_spectrum(s_re, s_im, w, prefactor, grid_shape[2])
         if _x64():
@@ -592,7 +665,7 @@ def make_ds_pme_recip(kappa, grid_shape, lmax: int,
 
     def energy_fwd(positions, box, q_harm):
         m_u0, tabs4, mixing, n_t, alphas, binv, s_re, s_im, w = _fwd_pieces(
-            positions, box, q_harm, kappa, grid_shape, lmax
+            positions, box, q_harm, kappa, grid_shape, lmax, w_cached
         )
         e = _energy_from_spectrum(s_re, s_im, w, prefactor, grid_shape[2])
         out = (e[0].astype(jnp.float64) + e[1].astype(jnp.float64)
@@ -608,12 +681,11 @@ def make_ds_pme_recip(kappa, grid_shape, lmax: int,
         n_h = (lmax + 1) ** 2
         n_t = len(alphas)
 
-        # potential mesh: dE/dmesh = 2 Re F(conj(w S)), x DIELECTRIC.
-        # T = w S is Hermitian (w real-symmetric, S Hermitian): reconstruct
-        # the full z spectrum from the half one, then run the full complex
-        # transform
-        t_re, t_im = _hermitian_fill(t_re, t_im, grid_shape[2])
-        p_re, _p_im = ds_fft3(t_re, ds.neg(t_im))
+        # potential mesh: dE/dmesh = 2 Re F(conj(w S)) = 2 sum_k (wS)_k e^{+..},
+        # x DIELECTRIC. T = w S is Hermitian (w real-symmetric, S Hermitian),
+        # so the half spectrum feeds the inverse-real transform directly —
+        # no full-spectrum reconstruction, half the transform work
+        p_re = ds_irfft3(t_re, t_im)
         pot = ds.mul_f(p_re, jnp.float32(2.0))
         pot = ds.mul(pot, ds._bc(ds.from_f64(prefactor), pot))
 

@@ -820,7 +820,8 @@ def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0,
         from admp_tpu.ops.dsrecip import make_ds_pme_recip
 
         assert not include_gamma, "recip_precision='ds' is electro-only"
-        engines = {lmax: make_ds_pme_recip(kappa, grid_shape, lmax, prefactor)}
+        engines = {lmax: make_ds_pme_recip(kappa, grid_shape, lmax, prefactor,
+                                           static_box=static_box)}
 
         def ds_recip(positions, box, q_harm, u_harm=None):
             if u_harm is None:
@@ -831,7 +832,8 @@ def make_pme_recip(ck_fn, kappa, include_gamma, grid_shape, lmax, prefactor=1.0,
                 lm = max(lmax, 1)
                 if lm not in engines:
                     engines[lm] = make_ds_pme_recip(
-                        kappa, grid_shape, lm, prefactor
+                        kappa, grid_shape, lm, prefactor,
+                        static_box=static_box,
                     )
                 n_ = q_harm.shape[0]
                 q4 = jnp.zeros((n_, (lm + 1) ** 2), u_harm.dtype)

@@ -63,6 +63,36 @@ def test_ds_fft_matches_f64():
     assert err.max() / np.abs(ref).max() < 1e-13
 
 
+def test_ds_irfft3_roundtrip_and_hermitian_path():
+    """ds_irfft3 (half-spectrum inverse used by the hand adjoint) must equal
+    K^3 x on a rfft3 roundtrip AND match the full-spectrum route
+    (hermitian_fill + ds_fft3) on a physical Hermitian product w*S."""
+    from admp_tpu.ops.dsrecip import (
+        _hermitian_fill, ds_fft3, ds_irfft3, ds_rfft3,
+    )
+
+    rng = np.random.RandomState(3)
+    K = 16
+    m64 = rng.randn(K, K, K)
+    s_re, s_im = ds_rfft3(ds.from_f64(m64))
+    out = ds_irfft3(s_re, s_im)
+    err = np.abs(ds.to_f64(out) - K ** 3 * m64)
+    assert err.max() / (K ** 3 * np.abs(m64).max()) < 1e-13
+
+    # real-symmetric w (an influence-like grid): both backward routes agree
+    kz = np.minimum(np.arange(K // 2 + 1), K - np.arange(K // 2 + 1))
+    kk = np.minimum(np.arange(K), K - np.arange(K))
+    w64 = np.exp(-0.05 * (kk[:, None, None] ** 2 + kk[None, :, None] ** 2
+                          + kz[None, None, :] ** 2))
+    w = ds.from_f64(w64)
+    t_re, t_im = ds.mul(w, s_re), ds.mul(w, s_im)
+    fr, fi = _hermitian_fill(t_re, t_im, K)
+    p_re, _ = ds_fft3(fr, ds.neg(fi))
+    ref = ds.to_f64(p_re)
+    new = ds.to_f64(ds_irfft3(t_re, t_im))
+    assert np.abs(new - ref).max() / np.abs(ref).max() < 1e-13
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("lmax", [0, 1, 2])
 def test_ds_recip_energy_and_forces_vs_f64(lmax):
