@@ -153,8 +153,9 @@ def main():
         emit(f"{name:24s}  dE={e_val - e_ref_:+.4g} kJ/mol  "
              f"rel-F-RMSE={rel:.4g}  {ms:.2f} ms/step")
 
-    for name, cfg in MODES:
-        measure(name, build(cfg), e_ref, f_ref, f_norm)
+    if "--only-ds" not in sys.argv:
+        for name, cfg in MODES:
+            measure(name, build(cfg), e_ref, f_ref, f_norm)
 
     # ----- double-single section (power-of-two K=128 grid; each mode
     # compares against an oracle at ITS grid so the number isolates pipeline
@@ -185,10 +186,21 @@ def main():
         ("ds recip @128", EngineConfig(recip_precision="ds")),
         ("ds+near2.0 @128", EngineConfig.ds_accuracy(realspace_near_radius=2.0)),
         ("ds+near2.5 @128", EngineConfig.ds_accuracy(realspace_near_radius=2.5)),
+        ("ds+near2.5+cache @128",
+         EngineConfig.ds_accuracy(realspace_near_radius=2.5,
+                                  cache_influence=True)),
     ]
     for name, cfg in DS_MODES:
         measure(name, build128(cfg), e_ref1, f_ref1, f_norm1)
 
+    if "--only-ds" in sys.argv and OUT.exists():
+        # refresh only the K=128 section of the committed artifact
+        old = OUT.read_text().splitlines()
+        cut = next((i for i, ln in enumerate(old)
+                    if ln.startswith("# K=128 section")), len(old))
+        own = next((i for i, ln in enumerate(lines)
+                    if ln.startswith("# K=128 section")), 0)
+        lines[:own] = old[:cut]
     OUT.write_text("\n".join(lines) + "\n")
     emit(f"# wrote {OUT}")
 
