@@ -290,27 +290,41 @@ def _bc(c, like):
 
 def sum_pairs(a, axis=None):
     """Accumulate a DS array with pairwise DS additions along ``axis`` (or all
-    axes when None) — tree reduction keeps the error O(eps^2 log n)."""
+    axes when None) — tree reduction keeps the error O(eps^2 log n).
+
+    Each level adds the even- and odd-indexed halves (two strided slices, one
+    DS add — no concatenates); an odd-length tail element is folded into slot
+    0 of the halved array, so every level is a single fused elementwise pass
+    and total traffic is geometric in the input size."""
     hi, lo = a
     if axis is None:
         hi = hi.reshape(-1)
         lo = lo.reshape(-1)
         axis = 0
     n = hi.shape[axis]
+
+    def sl(x, s):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = s
+        return x[tuple(idx)]
+
     while n > 1:
         half = n // 2
-        idx_a = [slice(None)] * hi.ndim
-        idx_b = [slice(None)] * hi.ndim
-        idx_r = [slice(None)] * hi.ndim
-        idx_a[axis] = slice(0, half)
-        idx_b[axis] = slice(half, 2 * half)
-        idx_r[axis] = slice(2 * half, n)
-        part = add((hi[tuple(idx_a)], lo[tuple(idx_a)]),
-                   (hi[tuple(idx_b)], lo[tuple(idx_b)]))
-        rest = (hi[tuple(idx_r)], lo[tuple(idx_r)])
-        hi = jnp.concatenate([part[0], rest[0]], axis=axis)
-        lo = jnp.concatenate([part[1], rest[1]], axis=axis)
-        n = hi.shape[axis]
+        part = add((sl(hi, slice(0, 2 * half, 2)),
+                    sl(lo, slice(0, 2 * half, 2))),
+                   (sl(hi, slice(1, 2 * half, 2)),
+                    sl(lo, slice(1, 2 * half, 2))))
+        if n % 2:
+            tail = (sl(hi, slice(n - 1, n)), sl(lo, slice(n - 1, n)))
+            head = (sl(part[0], slice(0, 1)), sl(part[1], slice(0, 1)))
+            head = add(head, tail)
+            ph = part[0].at[tuple([slice(None)] * axis + [slice(0, 1)])].set(
+                head[0])
+            pl = part[1].at[tuple([slice(None)] * axis + [slice(0, 1)])].set(
+                head[1])
+            part = (ph, pl)
+        hi, lo = part
+        n = half
     sq = [slice(None)] * hi.ndim
     sq[axis] = 0
     return (hi[tuple(sq)], lo[tuple(sq)])
