@@ -373,21 +373,41 @@ spread_blocks_multi.defvjp(_spread_blocks_multi_fwd, _spread_blocks_multi_bwd)
 # ---------------------------------------------------------------------------
 
 
+def _roundup(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def vmem_block_bytes(shape4, itembytes: int = 4) -> int:
+    """VMEM bytes of a block after Mosaic's (8, 128) tile padding of the last
+    two dims (measured the hard way: a (cap, 6, 36) f32 q-points block
+    allocates cap*8*128*4 bytes — 4.7x the logical size — which put the
+    98k/K=320 2-D spread 8 MB over the 16 MB scoped-vmem limit when the
+    budget counted logical bytes only)."""
+    *lead, a, b = shape4
+    n_lead = 1
+    for d in lead:
+        n_lead *= d
+    return n_lead * _roundup(a, 8) * _roundup(b, 128) * itembytes
+
+
 def pick_blocks_2d(grid_shape, order: int, n_ch: int, n_atoms: int):
     """Choose an (nx, ny) program grid whose accumulator + double-buffered
-    atom inputs fit the VMEM budget. Returns None when nothing fits (or the
-    grid doesn't divide evenly)."""
+    atom inputs fit the VMEM budget (tile-padded sizes, see
+    vmem_block_bytes). Returns None when nothing fits (or the grid doesn't
+    divide evenly)."""
     k1, k2, k3 = grid_shape
     k3pad = k3 + _ZW
-    for nx, ny in ((8, 8), (16, 8), (16, 16), (32, 16), (32, 32)):
+    for nx, ny in ((8, 8), (16, 8), (16, 16), (32, 8), (32, 16), (64, 8),
+                   (32, 32), (64, 16), (64, 32), (64, 64)):
         if k1 % nx or k2 % ny:
             continue
         wx, wy = k1 // nx, k2 // ny
         if wy % 8:
             continue
-        acc = n_ch * (wx + order - 1) * (wy + _YW) * k3pad * 4
+        acc = vmem_block_bytes((n_ch, wx + order - 1, wy + _YW, k3pad))
         cap = min(n_atoms, int(np.ceil(n_atoms / (nx * ny) * 2.5)) + 32)
-        inputs = cap * (n_ch * order ** 3 + 3) * 4
+        inputs = (vmem_block_bytes((cap, n_ch * order, order * order))
+                  + vmem_block_bytes((1, cap, 3)))
         if 2 * acc + 2 * inputs <= 13 * 1024 * 1024 and acc <= 6 * 1024 * 1024:
             return nx, ny
     return None
