@@ -93,6 +93,24 @@ def test_ds_irfft3_roundtrip_and_hermitian_path():
     assert np.abs(new - ref).max() / np.abs(ref).max() < 1e-13
 
 
+def test_ds_static_box_weight_cache_is_exact():
+    """make_ds_pme_recip(static_box=...) precomputes the DS k-space weights;
+    energies and forces must match the dynamic-weights engine bitwise."""
+    from admp_tpu.ops.dsrecip import make_ds_pme_recip
+
+    rng = np.random.default_rng(0)
+    n = 48
+    box = jnp.asarray(np.diag([12.0, 12.0, 12.0]), jnp.float32)
+    pos = jnp.asarray(rng.uniform(0, 12, (n, 3)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((n, 9)), jnp.float32)
+    e_dyn = make_ds_pme_recip(0.6, (16, 16, 16), 2)
+    e_cst = make_ds_pme_recip(0.6, (16, 16, 16), 2, static_box=box)
+    assert float(e_dyn(pos, box, q)) == float(e_cst(pos, box, q))
+    ga = jax.grad(lambda p: e_dyn(p, box, q))(pos)
+    gb = jax.grad(lambda p: e_cst(p, box, q))(pos)
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("lmax", [0, 1, 2])
 def test_ds_recip_energy_and_forces_vs_f64(lmax):
