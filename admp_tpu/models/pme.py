@@ -674,6 +674,15 @@ class ADMPPmeForce:
                 inputs["pol"], inputs["tholes"], inputs["pScales"],
             )
 
+        # NOTE (measured negative, round 3): an explicit two-phase "prepared"
+        # matvec — position-dependent pair coefficients, spline tables, and
+        # scatter indices hoisted into a cache built once per solve — measured
+        # SLOWER end-to-end (FH step 24.4 -> 25.5 ms, adjoint_fixed_iters=3
+        # step 71.4 -> 85.9 ms, examples/pol_ablation_tpu.out history): XLA
+        # already CSEs the matvec's invariant subgraphs against the identical
+        # computations in the surrounding energy/field graph, so the explicit
+        # cache only added un-shared duplicate preparation. The plain
+        # quadratic-energy gradient stays.
         solver = make_induced_dipole_solver(field_fn, self.scf_config,
                                             matvec_fn=matvec_fn)
 

@@ -37,13 +37,18 @@ def _tree_dot(a, b):
     return jax.tree_util.tree_reduce(jnp.add, leaves)
 
 
-def _pcg_fixed(matvec, b, precond, x0, n_iters, tol_field, site_mask):
+def _pcg_fixed(matvec, r0, precond, x0, n_iters, tol_field, site_mask):
     """Statically-unrolled PCG: exactly ``n_iters`` iterations, no
     while_loop. The absence of dynamic control flow lets XLA fuse/overlap the
     iterations with the surrounding energy graph (warm-started MD needs 0-2
     iterations; extra ones are harmless). Convergence is REPORTED from the
-    final residual, not enforced."""
-    r = b - matvec(x0)
+    final residual, not enforced.
+
+    Takes the initial residual ``r0 = b - A x0`` directly: PCG never needs
+    ``b`` again, and the caller can usually produce ``r0`` cheaper than
+    ``b`` + one matvec (``-field(u0)`` is one field build; ``-field(0)``
+    followed by ``matvec(u0)`` is a field build AND a matvec)."""
+    r = r0
     z = precond(r)
     p = z
     rz = _tree_dot(r, z)
@@ -65,15 +70,15 @@ def _pcg_fixed(matvec, b, precond, x0, n_iters, tol_field, site_mask):
     return x, resid < tol_field, jnp.asarray(n_iters, jnp.int32)
 
 
-def _pcg(matvec, b, precond, x0, max_iter, tol_field, site_mask):
+def _pcg(matvec, r0, precond, x0, max_iter, tol_field, site_mask):
     """Preconditioned CG on A x = b; terminates when the *field residual*
     max |A x - b| over polarizable sites drops below tol_field (the reference's
-    convergence metric, admp/pme.py:136)."""
+    convergence metric, admp/pme.py:136). Takes ``r0 = b - A x0`` directly
+    (see _pcg_fixed)."""
 
     def resid_norm(r):
         return jnp.max(jnp.abs(r * site_mask))
 
-    r0 = b - matvec(x0)
     z0 = precond(r0)
     p0 = z0
     rz0 = _tree_dot(r0, z0)
@@ -139,8 +144,10 @@ def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig(),
         interaction tensors, dipole-only mesh; see
         models/pme.py make_induced_quadratic_energy). Used for every PCG
         iteration of the forward solve AND the implicit-adjoint solve inside
-        each force evaluation; field_fn is still evaluated once per solve for
-        the right-hand side b = -field(0).
+        each force evaluation. (An explicit two-phase prepared matvec with
+        its invariants cached outside the loop measured SLOWER — XLA CSE
+        already shares those subgraphs with the surrounding energy graph;
+        see models/pme.py _build_polarizable for the measured numbers.)
 
     Returns:
       solve(inputs, u_init, pol) -> (u_star, (converged, n_iter)). Differentiable
@@ -149,39 +156,60 @@ def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig(),
     """
 
     def _setup(inputs, pol):
+        """Matvec + preconditioner pieces shared by forward and adjoint.
+
+        Does NOT build the right-hand side: with a dedicated ``matvec_fn``
+        neither the adjoint solve nor the PCG forward needs ``field(0)`` —
+        the forward starts from ``r0 = -field(u0)`` (one field build instead
+        of field(0) + matvec(u0)), the adjoint from ``r0 = g`` (x0 = 0)."""
         pol_ng = jax.lax.stop_gradient(pol)
         inputs_ng = jax.lax.stop_gradient(inputs)
         site_mask = (pol_ng > config.pol_eps).astype(pol_ng.dtype)[:, None]
-        diag = (pol_ng / DIELECTRIC)[:, None]
-
-        zero_u = jnp.zeros((pol.shape[0], 3), dtype=pol_ng.dtype)
-        field_at_zero = field_fn(zero_u, inputs_ng)
+        # Jacobi preconditioner ~ A_diag^-1 = max(pol, 1e-8)/DIELECTRIC —
+        # the SAME floor the polarization penalty applies
+        # (ops/selfenergy.py:44), so zero-polarizability sites get their
+        # true (huge) diagonal instead of a ZERO preconditioner entry.
+        # With pol/DIELECTRIC those components never enter the Krylov
+        # space: the forward solve hid that by masking them out of its
+        # residual norm, but the adjoint solve (which must converge on ALL
+        # sites — cotangents land on zero-pol sites too) could NEVER reach
+        # any tolerance and burned its full iteration cap on every force
+        # call (measured: 1.12-1.59 s/step on the 3000-atom bench).
+        diag = (jnp.maximum(pol_ng, 1e-8) / DIELECTRIC)[:, None]
 
         if matvec_fn is not None:
             def matvec(v):
                 return matvec_fn(v, inputs_ng)
         else:
+            zero_u = jnp.zeros((pol.shape[0], 3), dtype=pol_ng.dtype)
+            field_at_zero = field_fn(zero_u, inputs_ng)
+
             def matvec(v):
                 return field_fn(v, inputs_ng) - field_at_zero
 
-        b = -field_at_zero
-        return matvec, b, diag, site_mask
+        return matvec, inputs_ng, diag, site_mask
 
     def _solve_impl(inputs, u_init, pol):
-        matvec, b, diag, site_mask = _setup(inputs, pol)
+        matvec, inputs_ng, diag, site_mask = _setup(inputs, pol)
         u0 = jax.lax.stop_gradient(u_init)
         if config.method == "jacobi":
+            zero_u = jnp.zeros_like(u0)
+            b = -field_fn(zero_u, inputs_ng)
             return _jacobi(
                 matvec, b, diag, u0, config.max_iter, config.field_tol, site_mask
             )
+        # r0 = b - A u0 = -field(u0): one field build replaces the
+        # field(0) + matvec(u0) pair (PCG never references b again)
+        r0 = -field_fn(u0, inputs_ng)
         precond = lambda r: r * diag
         if config.fixed_iters is not None:
             return _pcg_fixed(
-                matvec, b, precond, u0, config.fixed_iters, config.field_tol,
+                matvec, r0, precond, u0, config.fixed_iters, config.field_tol,
                 site_mask,
             )
         return _pcg(
-            matvec, b, precond, u0, config.max_iter, config.field_tol, site_mask
+            matvec, r0, precond, u0, config.max_iter, config.field_tol,
+            site_mask,
         )
 
     @jax.custom_vjp
@@ -209,12 +237,24 @@ def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig(),
             )
         matvec, _, diag, site_mask = _setup(inputs, pol)
         precond = lambda r: r * diag
-        # adjoint solve A w = g (A symmetric); relative tolerance on the cotangent
+        # adjoint solve A w = g (A symmetric); relative tolerance on the
+        # cotangent. x0 = 0, so r0 = g exactly — no matvec(0) evaluation.
+        # The tolerance is floored at 40*eps of the working dtype: an f32
+        # PCG cannot reduce the residual below its rounding floor, and an
+        # unreachable target (the f64-grade 1e-8 default on an f32 TPU
+        # pipeline) otherwise burns the full 4*max_iter iteration cap on
+        # EVERY force call (measured: 1.12 s/step vs 71 ms at 3 iterations
+        # on the 3000-atom bench, examples/pol_ablation_tpu.out). At the
+        # floor (~4.8e-6 relative for f32) the adjoint correction — itself
+        # O(SCF residual) — keeps far more accuracy than the f32 force
+        # pipeline can represent.
+        eps = jnp.finfo(jnp.result_type(g)).eps
+        adj_tol = jnp.maximum(config.adjoint_tol, 40.0 * eps)
         g_scale = jnp.maximum(jnp.max(jnp.abs(g)), 1e-30)
         if config.adjoint_fixed_iters is not None:
             w, _, _ = _pcg_fixed(
                 matvec, g, precond, jnp.zeros_like(g),
-                config.adjoint_fixed_iters, config.adjoint_tol * g_scale,
+                config.adjoint_fixed_iters, adj_tol * g_scale,
                 jnp.ones_like(site_mask),
             )
         else:
@@ -224,7 +264,7 @@ def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig(),
                 precond,
                 jnp.zeros_like(g),
                 4 * config.max_iter,
-                config.adjoint_tol * g_scale,
+                adj_tol * g_scale,
                 jnp.ones_like(site_mask),
             )
         # theta_bar = - (d field / d theta)^T w  evaluated at u*

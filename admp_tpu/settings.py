@@ -93,8 +93,10 @@ class SCFConfig:
     adjoint_fixed_iters: int | None = None
     pol_eps: float = 0.001  # sites with pol below this do not count for convergence
     # relative tolerance of the implicit-adjoint PCG solve inside each force
-    # evaluation (residual / max|cotangent|); 1e-8 is f64-grade exactness,
-    # ~3e-7 suffices for an f32 force pipeline and converges in fewer matvecs
+    # evaluation (residual / max|cotangent|); 1e-8 is f64-grade exactness.
+    # The solver floors this at 40*eps of the working dtype (~4.8e-6 for
+    # f32) — an unreachable target would otherwise burn the full iteration
+    # cap on every force call (scf/solver.py solve_bwd).
     adjoint_tol: float = 1e-8
     # exact_adjoint=False switches to the Feynman-Hellmann shortcut the
     # reference uses (admp/pme.py:83,114-125): the SCF solve contributes NO
@@ -102,8 +104,26 @@ class SCFConfig:
     # implicit-adjoint solve and the field-VJP inside every force evaluation.
     # Exact for dE/dtheta at tight SCF convergence; any other function of the
     # dipoles (dipole-fitting losses) then gets silently truncated gradients
-    # — keep True for fitting workloads. Measured cost/accuracy in ROADMAP.md.
+    # — keep True for fitting workloads. Honest round-3 measurements
+    # (examples/pol_ablation_tpu.out, examples/fh_accuracy_cpu.out): the
+    # exact adjoint costs the adjoint PCG plus a field-VJP (~tens of ms on
+    # the 3000-atom TPU bench), FH costs nothing and its force error is
+    # O(SCF residual) — the production MD profile is FH with field_tol
+    # tightened until that error sits below the f32 working-precision floor.
     exact_adjoint: bool = True
+
+    @staticmethod
+    def md():
+        """Production MD profile: Feynman-Hellmann gradients (the
+        reference's own semantics) with the convergence tolerance tightened
+        from the reference's 10 to 0.3 kJ/mol/A/e. Measured on the MD-regime
+        ladder (warm start + one drift step, examples/fh_accuracy_cpu.out):
+        force error 4.1e-5 relative at ~2 warm PCG iterations/step — an
+        order of magnitude below the f32 working-precision floor (4.3e-4),
+        where the reference's own tolerance leaves 3.7e-3. Use the default
+        SCFConfig() (exact adjoint) for fitting or any loss that reads the
+        dipoles."""
+        return SCFConfig(exact_adjoint=False, field_tol=0.3)
 
 
 @dataclasses.dataclass(frozen=True)

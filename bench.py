@@ -57,10 +57,18 @@ def build_pol_workload():
 
     from admp_tpu.settings import EngineConfig
 
+    # Production MD profile (SCFConfig.md()): Feynman-Hellmann gradients —
+    # the reference's own gradient semantics (admp/pme.py:83,114-125) — at
+    # field_tol=0.3 (vs the reference's 10): measured FH force error 4.1e-5
+    # relative, an order below the f32 working floor, at ~2 warm PCG
+    # iterations/step (examples/fh_accuracy_cpu.out). The exact-adjoint
+    # default costs the adjoint solve + field-VJP on every force call
+    # (measured honestly in examples/pol_ablation_tpu.out) and is the right
+    # choice for fitting, not for MD stepping.
     pme = ADMPPmeForce(
         box, sysd["axis_types"], sysd["axis_indices"], sysd["covalent_map"],
         rc, ethresh, lmax=2, lpol=True,
-        config=EngineConfig(cache_influence=True, scf=SCFConfig()),
+        config=EngineConfig(cache_influence=True, scf=SCFConfig.md()),
     )
 
     # converge once cold so the timed loop starts from a realistic MD state
@@ -84,7 +92,12 @@ def build_pol_workload():
                 p, box, pairs, q_local, pol, tholes,
                 scales, scales, scales, u_prev,
             )
-            return (p + drift, u_new), e
+            # f MUST feed the carry: an unused force output lets XLA
+            # dead-code-eliminate the entire backward pass (adjoint solve,
+            # field-VJP, position gradients) and the "e+g" timing silently
+            # becomes energy+solve-only (discovered round 3; earlier
+            # polarizable numbers carried this flaw — see ROADMAP.md)
+            return (p + drift + 0.0 * f, u_new), e
 
         (p_out, u_out), es = jax.lax.scan(
             body, (pos, u), None, length=n_inner
@@ -252,7 +265,8 @@ def main():
 
     print(json.dumps({
         "metric": "water_pol 3000-atom polarizable PME energy+force step "
-                  "(lmax=2 Thole SCF, warm PCG; vs prev round, no published baseline)",
+                  "(lmax=2 Thole SCF, warm PCG, MD profile FH@0.3; "
+                  "vs prev round, no published baseline)",
         "value": round(ms_pol, 3),
         "unit": "ms",
         "vs_baseline": round(prev_pol / ms_pol, 4) if prev_pol else 1.0,

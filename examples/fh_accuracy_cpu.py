@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Feynman-Hellmann force error vs SCF convergence tolerance (CPU, f64).
+
+The FH gradient mode (SCFConfig.exact_adjoint=False — the reference's own
+semantics, admp/pme.py:83,114-125) drops the implicit-adjoint solve and the
+field-VJP from every force call; its force error is O(SCF residual). The
+honest round-3 timing harness (examples/pol_ablation_tpu.out) shows the exact
+adjoint costs ~9 ms per adjoint PCG iteration plus ~20 ms of field-VJP on the
+3000-atom bench, while FH costs nothing — so for production f32 MD the right
+question is: how tight must field_tol be for the FH error to sit below the
+f32 working-precision floor (4.3e-4 relative force RMSE)?
+
+This script measures it: exact-adjoint forces at field_tol=1e-4 in f64 are
+the oracle; FH forces at a ladder of field_tol values (warm-started the way
+an MD loop runs) give rel-F-RMSE vs that oracle. Writes
+examples/fh_accuracy_cpu.out.
+"""
+
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+OUT = pathlib.Path(__file__).with_suffix(".out")
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from admp_tpu import ADMPPmeForce, SCFConfig, convert_cart2harm
+    from admp_tpu.ops.neighborlist import neighbor_list_cell
+    from admp_tpu.settings import EngineConfig
+    from admp_tpu.systems import water_system
+
+    sysd = water_system(n_side=8, spacing=3.104, jitter=0.12, seed=0)
+    positions = jnp.asarray(sysd["positions"], dtype=jnp.float64)
+    box = jnp.asarray(sysd["box"], dtype=jnp.float64)
+    rc, ethresh = 4.0, 1e-4
+    nlist = neighbor_list_cell(positions, box, rc)
+    pairs = jnp.asarray(nlist.pairs)
+    q_local = convert_cart2harm(jnp.asarray(sysd["q_cart"]), 2)
+    pol = jnp.asarray(sysd["pol"], dtype=jnp.float64)
+    tholes = jnp.asarray(sysd["tholes"], dtype=jnp.float64)
+    scales = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0], dtype=jnp.float64)
+
+    lines = []
+
+    def emit(msg):
+        print(msg, flush=True)
+        lines.append(str(msg))
+
+    def forces(scf, u_init=None):
+        pme = ADMPPmeForce(
+            box, sysd["axis_types"], sysd["axis_indices"],
+            sysd["covalent_map"], rc, ethresh, lmax=2, lpol=True,
+            config=EngineConfig(scf=scf),
+        )
+        (e, (u, conv, n_it)), f = pme._value_grad_aux(
+            positions, box, pairs, q_local, pol, tholes,
+            scales, scales, scales,
+            jnp.zeros_like(positions) if u_init is None else u_init,
+        )
+        return np.asarray(f), np.asarray(u), int(n_it), bool(conv)
+
+    # converge tightly at the base geometry, then DRIFT the positions one
+    # MD-step's worth (~5e-3 A) and warm-start from the pre-drift dipoles —
+    # the state every MD force call actually sees. Without the drift the
+    # entry residual is already ~0 and every tolerance row degenerates to
+    # the same 0-iteration answer.
+    _, u_base, n_cold, _ = forces(SCFConfig(field_tol=1e-4))
+    rng = np.random.default_rng(7)
+    drifted = positions + jnp.asarray(
+        0.005 * rng.standard_normal(positions.shape)
+    )
+    u_warm = jnp.asarray(u_base)
+
+    def forces_at(scf, pos, u_init):
+        pme = ADMPPmeForce(
+            box, sysd["axis_types"], sysd["axis_indices"],
+            sysd["covalent_map"], rc, ethresh, lmax=2, lpol=True,
+            config=EngineConfig(scf=scf),
+        )
+        (e, (u, conv, n_it)), f = pme._value_grad_aux(
+            pos, box, pairs, q_local, pol, tholes,
+            scales, scales, scales, u_init,
+        )
+        return np.asarray(f), int(n_it)
+
+    f_ref, n_ref = forces_at(SCFConfig(field_tol=1e-4), drifted, u_warm)
+    fn = float(np.sqrt(np.mean(f_ref**2)))
+    emit(f"oracle: exact adjoint at drifted positions, field_tol=1e-4, "
+         f"{n_ref} warm PCG iters (cold solve was {n_cold}), |F|rms {fn:.4f}")
+    emit(f"{'field_tol':>10s} {'mode':>6s} {'iters':>5s} "
+         f"{'rel-F-RMSE':>11s} {'max-rel':>9s}")
+
+    for tol in (10.0, 3.0, 1.0, 0.3, 0.1, 0.01):
+        for exact in (False, True):
+            f, n_it = forces_at(
+                SCFConfig(field_tol=tol, exact_adjoint=exact), drifted, u_warm
+            )
+            d = f - f_ref
+            rel = float(np.sqrt(np.mean(d**2)) / fn)
+            mx = float(np.max(np.abs(d)) / np.max(np.abs(f_ref)))
+            emit(f"{tol:10.2g} {'exact' if exact else 'FH':>6s} {n_it:5d} "
+                 f"{rel:11.3e} {mx:9.2e}")
+
+    # cold-start FH at the default tol, for scale
+    f, n_it = forces_at(
+        SCFConfig(field_tol=10.0, exact_adjoint=False), drifted,
+        jnp.zeros_like(u_warm),
+    )
+    d = f - f_ref
+    emit(f"cold-start FH field_tol=10: {n_it} iters, "
+         f"rel {float(np.sqrt(np.mean(d**2))/fn):.3e}")
+
+    OUT.write_text("\n".join(lines) + "\n")
+    emit(f"# wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
