@@ -662,8 +662,27 @@ class ADMPPmeForce:
         # exactly field(v) - field(0)); every PCG iteration of the forward
         # solve and of the per-force implicit-adjoint solve uses this instead
         # of a full field build
+        # optional reduced-accuracy matvec operator (SCFConfig knobs): PCG
+        # consumes r0 from the FULL field, so operator error only perturbs the
+        # warm-start-small correction (true residual <= tol + eps_op*|r0|;
+        # rationale in settings.py SCFConfig)
+        scf = self.scf_config
+        mv_config = config
+        if scf.matvec_spread_order is not None:
+            import dataclasses as _dc
+
+            mv_config = _dc.replace(
+                config, spread_order=scf.matvec_spread_order
+            )
+        div = max(int(scf.matvec_grid_div), 1)
+
+        def _reduce_k(k):
+            kd = max(-(-k // div), 32)
+            return kd + (kd % 2)  # keep even (Pallas/rfft-friendly)
+
+        mv_grid = tuple(_reduce_k(k) for k in (self.K1, self.K2, self.K3))
         energy_uu = make_induced_quadratic_energy(
-            covalent_map, kappa, (self.K1, self.K2, self.K3), config,
+            covalent_map, kappa, mv_grid, mv_config,
             static_box=getattr(self, "_static_box", None),
         )
         grad_uu = jax.grad(energy_uu, argnums=3)

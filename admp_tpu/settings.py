@@ -111,6 +111,23 @@ class SCFConfig:
     # O(SCF residual) — the production MD profile is FH with field_tol
     # tightened until that error sits below the f32 working-precision floor.
     exact_adjoint: bool = True
+    # Reduced-cost PCG matvec: spread order / grid divisor for the dipole-only
+    # lmax=1 mesh inside the SCF system operator (models/pme.py
+    # make_induced_quadratic_energy). The solver consumes the initial residual
+    # r0 = -field(u0) built with the FULL-accuracy operator and PCG only uses
+    # the matvec for A.p products, so a perturbed operator A~ changes the
+    # converged *correction* d (A~ d = r0), leaving a true-system residual of
+    # (A - A~) d — bounded by eps_op * |r0|, i.e. the operator error is scaled
+    # by the (warm-start-small) entry residual, not by the full dipole field.
+    # matvec_spread_order=4 is exact enough for l<=1 sources (B4' spreading;
+    # the lmax=2 order-4 failure mode is quadrupole-specific, ROADMAP.md);
+    # matvec_grid_div=2 halves each mesh dimension (floored at 32, kept even).
+    # None/1 = use the engine's full-accuracy mesh. Measured accuracy ladder:
+    # examples/fh_accuracy_cpu.out; adopted by the md() profile per those
+    # numbers. NOTE: in exact_adjoint mode the adjoint solve shares this
+    # matvec — keep the defaults for tight fitting gradients.
+    matvec_spread_order: int | None = None
+    matvec_grid_div: int = 1
 
     @staticmethod
     def md():

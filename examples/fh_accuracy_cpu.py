@@ -119,6 +119,26 @@ def main():
     emit(f"cold-start FH field_tol=10: {n_it} iters, "
          f"rel {float(np.sqrt(np.mean(d**2))/fn):.3e}")
 
+    # reduced-accuracy PCG matvec (SCFConfig.matvec_spread_order /
+    # matvec_grid_div): r0 comes from the full field, so operator error only
+    # perturbs the correction — measure the end-to-end FH force error at the
+    # MD profile tolerance, warm-started, plus a cold start (worst case: the
+    # full dipole field rides the perturbed operator)
+    emit("matvec reduction at FH field_tol=0.3 (warm / cold):")
+    emit(f"{'order':>6s} {'gdiv':>4s} {'iters':>5s} {'rel-F-RMSE':>11s} "
+         f"{'cold-it':>7s} {'cold-rel':>9s}")
+    for order, gdiv in ((None, 1), (4, 1), (6, 2), (4, 2)):
+        scf = SCFConfig(field_tol=0.3, exact_adjoint=False,
+                        matvec_spread_order=order, matvec_grid_div=gdiv)
+        f, n_it = forces_at(scf, drifted, u_warm)
+        d = f - f_ref
+        rel = float(np.sqrt(np.mean(d**2)) / fn)
+        fc, n_cold2 = forces_at(scf, drifted, jnp.zeros_like(u_warm))
+        dc = fc - f_ref
+        relc = float(np.sqrt(np.mean(dc**2)) / fn)
+        emit(f"{str(order):>6s} {gdiv:4d} {n_it:5d} {rel:11.3e} "
+             f"{n_cold2:7d} {relc:9.3e}")
+
     OUT.write_text("\n".join(lines) + "\n")
     emit(f"# wrote {OUT}")
 

@@ -137,6 +137,32 @@ def main():
                                         adjoint_fixed_iters=3))),
            (positions, u0))
 
+    # --- the bench MD profile (FH @ field_tol=0.3) and its reduced-matvec /
+    # static-unroll variants (SCFConfig.matvec_spread_order/matvec_grid_div:
+    # accuracy ladder in examples/fh_accuracy_cpu.out) ---
+    import dataclasses as dc
+
+    md = SCFConfig.md()
+    timeit("FH@0.3 (bench MD profile)",
+           body_full(make_pme(md)), (positions, u0))
+    timeit("FH@0.3 + matvec order4",
+           body_full(make_pme(dc.replace(md, matvec_spread_order=4))),
+           (positions, u0))
+    timeit("FH@0.3 + matvec gdiv2",
+           body_full(make_pme(dc.replace(md, matvec_grid_div=2))),
+           (positions, u0))
+    timeit("FH@0.3 + matvec order4+gdiv2",
+           body_full(make_pme(dc.replace(
+               md, matvec_spread_order=4, matvec_grid_div=2))),
+           (positions, u0))
+    timeit("FH@0.3 + fixed_iters=2",
+           body_full(make_pme(dc.replace(md, fixed_iters=2))),
+           (positions, u0))
+    timeit("FH@0.3 + fixed2 + matvec order4+gdiv2",
+           body_full(make_pme(dc.replace(
+               md, fixed_iters=2, matvec_spread_order=4, matvec_grid_div=2))),
+           (positions, u0))
+
     OUT.write_text("\n".join(lines) + "\n")
     emit(f"# wrote {OUT}")
 
