@@ -231,7 +231,7 @@ def make_induced_quadratic_energy(covalent_map, kappa, grid_shape, config,
     )
 
     def energy_uu(positions, box, pairs, u_ind_cart, pol, tholes, p_scales):
-        pair_chunk = (1 << 18) if pairs.shape[0] > (1 << 20) else None
+        pair_chunk = (1 << 21) if pairs.shape[0] > (1 << 22) else None  # unchunked to 4M pairs: lax.map chunking measured 1.5x slower at 1.6M (examples/realspace_98k_tpu.out)
         u_harm = cart_dipole_to_harm(u_ind_cart)
         e = pme_real_uu_energy(
             positions, box, pairs, u_harm, pol, tholes, p_scales,
@@ -605,7 +605,7 @@ class ADMPPmeForce:
         config, excl_pairs = self.config, self._excl_pairs
 
         def get_energy(positions, box, pairs, Q_local, mScales):
-            pair_chunk = (1 << 18) if pairs.shape[0] > (1 << 20) else None
+            pair_chunk = (1 << 21) if pairs.shape[0] > (1 << 22) else None  # unchunked to 4M pairs: lax.map chunking measured 1.5x slower at 1.6M (examples/realspace_98k_tpu.out)
             return energy_pme(
                 positions, box, pairs, Q_local, None, None, None,
                 mScales, None, None, covalent_map, axis_types, axis_indices,
@@ -613,7 +613,7 @@ class ADMPPmeForce:
             )
 
         def get_metrics(positions, box, pairs, Q_local, mScales):
-            pair_chunk = (1 << 18) if pairs.shape[0] > (1 << 20) else None
+            pair_chunk = (1 << 21) if pairs.shape[0] > (1 << 22) else None  # unchunked to 4M pairs: lax.map chunking measured 1.5x slower at 1.6M (examples/realspace_98k_tpu.out)
             total, terms = energy_pme(
                 positions, box, pairs, Q_local, None, None, None,
                 mScales, None, None, covalent_map, axis_types, axis_indices,
@@ -640,7 +640,7 @@ class ADMPPmeForce:
 
         def energy_fn(positions, box, pairs, Q_local, U_ind, pol, tholes,
                       mScales, pScales, dScales):
-            pair_chunk = (1 << 18) if pairs.shape[0] > (1 << 20) else None
+            pair_chunk = (1 << 21) if pairs.shape[0] > (1 << 22) else None  # unchunked to 4M pairs: lax.map chunking measured 1.5x slower at 1.6M (examples/realspace_98k_tpu.out)
             return energy_pme(
                 positions, box, pairs, Q_local, U_ind, pol, tholes,
                 mScales, pScales, dScales, covalent_map, axis_types,
@@ -764,7 +764,7 @@ class ADMPPmeForce:
                 positions, box, pairs, Q_local, pol, tholes,
                 mScales, pScales, dScales, U_init,
             )
-            pair_chunk = (1 << 18) if pairs.shape[0] > (1 << 20) else None
+            pair_chunk = (1 << 21) if pairs.shape[0] > (1 << 22) else None  # unchunked to 4M pairs: lax.map chunking measured 1.5x slower at 1.6M (examples/realspace_98k_tpu.out)
             _, terms = energy_pme(
                 positions, box, pairs, Q_local, u, pol, tholes,
                 mScales, pScales, dScales, covalent_map, axis_types,

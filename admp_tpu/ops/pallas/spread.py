@@ -292,13 +292,33 @@ def _flat_stencil_indices(m_u0, grid_shape, order):
     ).reshape(-1)
 
 
-def _spread_blocks_bwd(grid_shape, n_slabs, interpret, m_u0, g_mesh):
-    # flat 1-D gather — the same form as the XLA scatter's AD transpose,
-    # which measures faster than 3-D advanced indexing on TPU
+def _flat_gather(m_u0, g_mesh, grid_shape, order):
     n = m_u0.shape[0]
-    flat = _flat_stencil_indices(m_u0, grid_shape, 6)
-    g_q = g_mesh.reshape(-1)[flat].reshape(n, 6, 6, 6)
-    return None, g_q
+    n_ch = g_mesh.shape[0]
+    flat = _flat_stencil_indices(m_u0, grid_shape, order)
+    g_flat = g_mesh.reshape(n_ch, -1)
+    if n_ch == 1:
+        return g_flat[0][flat].reshape(n, 1, order ** 3)
+    return jnp.stack(
+        [g_flat[c][flat].reshape(n, order ** 3) for c in range(n_ch)], axis=1
+    )
+
+
+def _spread_blocks_bwd(grid_shape, n_slabs, interpret, m_u0, g_mesh):
+    # windowed-gather kernel (the XLA flat gather is per-element bound:
+    # ~62M elem/s measured — examples/gather_98k_tpu.out); flat-gather
+    # fallback when a bucket overflowed (the forward used the scatter then,
+    # and the kernel would drop the overflow atoms' cotangents)
+    n = m_u0.shape[0]
+    g_k, overflow = _pallas_gather_slabs_impl(
+        m_u0, g_mesh[None], grid_shape, n_slabs, interpret
+    )
+    g_q = jax.lax.cond(
+        overflow,
+        lambda: _flat_gather(m_u0, g_mesh[None], grid_shape, 6),
+        lambda: g_k,
+    )
+    return None, g_q.reshape(n, 6, 6, 6)
 
 
 spread_blocks.defvjp(_spread_blocks_fwd, _spread_blocks_bwd)
@@ -350,12 +370,13 @@ def _spread_blocks_multi_fwd(m_u0, q_points, grid_shape, order, n_slabs=16,
 
 def _spread_blocks_multi_bwd(grid_shape, order, n_slabs, interpret, m_u0,
                              g_mesh):
-    n = m_u0.shape[0]
-    n_ch = g_mesh.shape[0]
-    flat = _flat_stencil_indices(m_u0, grid_shape, order)
-    g_flat = g_mesh.reshape(n_ch, -1)
-    g_q = jnp.stack(
-        [g_flat[c][flat].reshape(n, order ** 3) for c in range(n_ch)], axis=1
+    g_k, overflow = _pallas_gather_slabs_impl(
+        m_u0, g_mesh, grid_shape, n_slabs, interpret, order
+    )
+    g_q = jax.lax.cond(
+        overflow,
+        lambda: _flat_gather(m_u0, g_mesh, grid_shape, order),
+        lambda: g_k,
     )
     return None, g_q
 
@@ -544,9 +565,312 @@ def _spread_blocks_2d_fwd(m_u0, q_points, grid_shape, nx, ny, interpret=False):
 
 def _spread_blocks_2d_bwd(grid_shape, nx, ny, interpret, m_u0, g_mesh):
     n = m_u0.shape[0]
-    flat = _flat_stencil_indices(m_u0, grid_shape, 6)
-    g_q = g_mesh.reshape(-1)[flat].reshape(n, 6, 6, 6)
-    return None, g_q
+    g_k, overflow = _pallas_gather2d_impl(
+        m_u0, g_mesh[None], grid_shape, nx, ny, interpret
+    )
+    g_q = jax.lax.cond(
+        overflow,
+        lambda: _flat_gather(m_u0, g_mesh[None], grid_shape, 6),
+        lambda: g_k,
+    )
+    return None, g_q.reshape(n, 6, 6, 6)
 
 
 spread_blocks_2d.defvjp(_spread_blocks_2d_fwd, _spread_blocks_2d_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Windowed-gather adjoint kernels.
+#
+# The spread adjoint (force interpolation) is a gather of each atom's
+# order^3 stencil window from the cotangent mesh. The XLA flat gather is
+# PER-ELEMENT bound on TPU (~62M elem/s measured at 98k/K=320 — 339 ms for
+# 21.2M stencil values, insensitive to index ordering; sliced lax.gather is
+# 29x worse; examples/gather_98k_tpu.out), which made it the single largest
+# cost of the 98k step. These kernels mirror the forward spread's block
+# decomposition in reverse: the cotangent mesh is sliced into the SAME
+# halo-padded blocks (overlap materialized by two row-takes — sequential HBM
+# traffic), each program walks its atom bucket and extracts the (6, 6, 6)
+# window with the same aligned-window one-hot selects the forward uses for
+# placement — pure VPU work, no per-element gather anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _make_gather_kernel(order: int, n_ch: int):
+    """counts_ref: (P,) SMEM; m_u0_ref: (1, A, 3) VMEM block-relative bases;
+    g_ref: (1, C, WX+halo, WYpad, K3pad) VMEM cotangent block;
+    out_ref: (1, A, C*order, order^2) VMEM per-atom stencil cotangents."""
+
+    def kernel(counts_ref, m_u0_ref, g_ref, out_ref):
+        out_ref[...] = jnp.zeros_like(out_ref)
+        count = counts_ref[pl.program_id(0)]
+        a_max = m_u0_ref.shape[1]
+        lo = jnp.asarray(0, jnp.int32)
+        hi = jnp.asarray(a_max, jnp.int32)
+
+        y_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _YW, 1), 1)
+        z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _ZW), 2)
+
+        def body(k, _):
+            @pl.when(k < count)
+            def _():
+                x0 = m_u0_ref[0, k, 0]
+                y0 = m_u0_ref[0, k, 1]
+                z0 = m_u0_ref[0, k, 2]
+                eight = jnp.asarray(8, jnp.int32)
+                o28 = jnp.asarray(128, jnp.int32)
+                yb = jax.lax.div(y0, eight) * eight
+                zb = jax.lax.div(z0, o28) * o28
+                yo = y0 - yb
+                zo = z0 - zb
+                yb = pl.multiple_of(yb, 8)
+                zb = pl.multiple_of(zb, 128)
+                chans = []
+                for c in range(n_ch):
+                    cur = g_ref[
+                        0, c, pl.ds(x0, order), pl.ds(yb, _YW), pl.ds(zb, _ZW)
+                    ]  # (order, _YW, _ZW)
+                    cols = []
+                    for j in range(order):
+                        pick = (y_iota == yo + j).astype(cur.dtype)
+                        row_j = jnp.sum(cur * pick, axis=1)  # (order, _ZW)
+                        for l in range(order):
+                            sel = (z_iota[0] == zo + l).astype(cur.dtype)
+                            cols.append(jnp.sum(row_j * sel, axis=-1))
+                    chans.append(jnp.stack(cols, axis=-1))  # (order, order^2)
+                out_ref[0, k] = jnp.concatenate(chans, axis=0)
+            return jnp.asarray(0, jnp.int32)
+
+        jax.lax.fori_loop(lo, hi, body, jnp.asarray(0, jnp.int32))
+
+    return kernel
+
+
+def _wrap_axis(g, axis: int, target: int):
+    """Extend an axis to ``target`` by periodic tiling (handles extents
+    larger than the axis itself — small grids wrap multiple times)."""
+    reps = -(-target // g.shape[axis])
+    if reps > 1:
+        g = jnp.concatenate([g] * reps, axis=axis)
+    return jax.lax.slice_in_dim(g, 0, target, axis=axis)
+
+
+def _pad_cotangent(g_mesh, x_extent, order):
+    """Periodic wrap-extension of the (C, K1, K2, K3) cotangent mesh — the
+    exact transpose of the forward's wrap folds: padded position p reads the
+    cotangent of grid point p mod K."""
+    k1, k2, k3 = g_mesh.shape[1:]
+    g = _wrap_axis(g_mesh, 3, k3 + _ZW)
+    g = _wrap_axis(g, 2, k2 + _YW)
+    g = _wrap_axis(g, 1, x_extent)
+    return g
+
+
+def _gather_postprocess(out, sort_order, take, counts, cap_pad, n, n_ch,
+                        order):
+    """Scatter per-slot kernel outputs back to atom order. Slots beyond a
+    bucket's count are routed to a dump row (n) and discarded."""
+    nb = counts.shape[0]
+    rows = out.reshape(nb * cap_pad, n_ch * order, order * order)
+    slot = jnp.arange(cap_pad, dtype=jnp.int32)[None, :]
+    atom_ids = sort_order[take]
+    ids = jnp.where(slot < counts[:, None], atom_ids, n).reshape(-1)
+    res = jnp.zeros((n + 1,) + rows.shape[1:], rows.dtype)
+    res = res.at[ids].set(rows)[:n]
+    return res.reshape(n, n_ch, order ** 3)
+
+
+def _pallas_gather2d_impl(m_u0, g_mesh, grid_shape, nx, ny, interpret=False,
+                          order=6):
+    """Adjoint of _pallas_spread2d_impl: (C, K1, K2, K3) cotangent ->
+    ((N, C, order^3) stencil cotangents, overflow flag). Same bucketing as
+    the forward; the overflow flag routes the caller to the flat-gather
+    fallback (bucket-dropped atoms would silently get zero cotangents)."""
+    k1, k2, k3 = grid_shape
+    n = m_u0.shape[0]
+    n_ch = g_mesh.shape[0]
+    halo = order - 1
+    half = order // 2
+    wx, wy = k1 // nx, k2 // ny
+    nb = nx * ny
+    k3pad = k3 + _ZW
+
+    base = jnp.stack(
+        [
+            jnp.mod(m_u0[:, 0] - half, k1),
+            jnp.mod(m_u0[:, 1] - half, k2),
+            jnp.mod(m_u0[:, 2] - half, k3),
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+    bid = (base[:, 0] // wx) * ny + base[:, 1] // wy
+    sort_order = jnp.argsort(bid)
+    sorted_ids = bid[sort_order]
+    base_s = base[sort_order]
+
+    b_iota = jnp.arange(nb, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_ids, b_iota).astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_ids, b_iota + 1).astype(jnp.int32)
+    counts = ends - starts
+    cap = min(n, int(np.ceil(n / nb * 2.5)) + 32)
+    overflow = jnp.any(counts > cap)
+
+    # sub-chunk the atom axis so the (cap_s, C*order, order^2) out block
+    # (tile-padded to cap_s x 8 x 128 per channel-row) stays ~2 MB
+    cap_s = min(cap, 512)
+    s_chunks = -(-cap // cap_s)
+    cap_pad = cap_s * s_chunks
+
+    take = starts[:, None] + jnp.arange(cap_pad, dtype=jnp.int32)[None, :]
+    take = jnp.minimum(take, n - 1)
+    m_b = base_s[take]
+    m_b = m_b.at[..., 0].add(-((b_iota // ny) * wx)[:, None])
+    m_b = m_b.at[..., 1].add(-((b_iota % ny) * wy)[:, None])
+
+    # halo-padded cotangent blocks: two overlapping row-takes (sequential
+    # HBM traffic), then regroup to one leading block axis
+    g_pad = _pad_cotangent(g_mesh, k1 + halo, order)
+    ix = (
+        (jnp.arange(nx, dtype=jnp.int32) * wx)[:, None]
+        + jnp.arange(wx + halo, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    iy = (
+        (jnp.arange(ny, dtype=jnp.int32) * wy)[:, None]
+        + jnp.arange(wy + _YW, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    blk = jnp.take(g_pad, ix, axis=1)
+    blk = jnp.take(blk, iy, axis=2)
+    blk = blk.reshape(n_ch, nx, wx + halo, ny, wy + _YW, k3pad)
+    blk = blk.transpose(1, 3, 0, 2, 4, 5).reshape(
+        nb, n_ch, wx + halo, wy + _YW, k3pad
+    )
+
+    counts_s = jnp.clip(
+        counts[:, None] - (jnp.arange(s_chunks, dtype=jnp.int32) * cap_s)[None],
+        0, cap_s,
+    ).reshape(-1)
+    m_bs = m_b.reshape(nb * s_chunks, cap_s, 3)
+    n_prog = nb * s_chunks
+    s_const = np.int32(s_chunks)
+
+    out = pl.pallas_call(
+        _make_gather_kernel(order, n_ch),
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((n_prog,), lambda p: (_I0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cap_s, 3), lambda p: (p, _I0, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, n_ch, wx + halo, wy + _YW, k3pad),
+                lambda p: (p // s_const, _I0, _I0, _I0, _I0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cap_s, n_ch * order, order * order),
+            lambda p: (p, _I0, _I0, _I0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_prog, cap_s, n_ch * order, order * order), g_mesh.dtype
+        ),
+        interpret=interpret,
+    )(counts_s, m_bs, blk)
+
+    g_q = _gather_postprocess(
+        out.reshape(nb, cap_pad, n_ch * order, order * order),
+        sort_order, take, counts, cap_pad, n, n_ch, order,
+    )
+    return g_q, overflow
+
+
+def _pallas_gather_slabs_impl(m_u0, g_mesh, grid_shape, n_slabs,
+                              interpret=False, order=6):
+    """Adjoint of _pallas_spread_impl (1-D slab decomposition): same contract
+    as _pallas_gather2d_impl."""
+    k1, k2, k3 = grid_shape
+    n = m_u0.shape[0]
+    n_ch = g_mesh.shape[0]
+    halo = order - 1
+    half = order // 2
+    width = -(-k1 // n_slabs)
+    k2pad = k2 + _YW
+    k3pad = k3 + _ZW
+
+    base = jnp.stack(
+        [
+            jnp.mod(m_u0[:, 0] - half, k1),
+            jnp.mod(m_u0[:, 1] - half, k2),
+            jnp.mod(m_u0[:, 2] - half, k3),
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+    slab_id = base[:, 0] // width
+    sort_order = jnp.argsort(slab_id)
+    sorted_ids = slab_id[sort_order]
+    base_s = base[sort_order]
+
+    slab_iota = jnp.arange(n_slabs, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_ids, slab_iota).astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_ids, slab_iota + 1).astype(jnp.int32)
+    counts = ends - starts
+    cap = min(n, int(np.ceil(n / n_slabs * 2.5)) + 32)
+    overflow = jnp.any(counts > cap)
+
+    cap_s = min(cap, 512)
+    s_chunks = -(-cap // cap_s)
+    cap_pad = cap_s * s_chunks
+
+    take = starts[:, None] + jnp.arange(cap_pad, dtype=jnp.int32)[None, :]
+    take = jnp.minimum(take, n - 1)
+    m_b = base_s[take]
+    m_b = m_b.at[..., 0].add(-(slab_iota * width)[:, None])
+
+    g_pad = _pad_cotangent(g_mesh, n_slabs * width + halo, order)
+    ix = (
+        (slab_iota * width)[:, None]
+        + jnp.arange(width + halo, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    blk = jnp.take(g_pad, ix, axis=1).reshape(
+        n_ch, n_slabs, width + halo, k2pad, k3pad
+    ).transpose(1, 0, 2, 3, 4)
+
+    counts_s = jnp.clip(
+        counts[:, None] - (jnp.arange(s_chunks, dtype=jnp.int32) * cap_s)[None],
+        0, cap_s,
+    ).reshape(-1)
+    m_bs = m_b.reshape(n_slabs * s_chunks, cap_s, 3)
+    n_prog = n_slabs * s_chunks
+    s_const = np.int32(s_chunks)
+
+    out = pl.pallas_call(
+        _make_gather_kernel(order, n_ch),
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((n_prog,), lambda p: (_I0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cap_s, 3), lambda p: (p, _I0, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, n_ch, width + halo, k2pad, k3pad),
+                lambda p: (p // s_const, _I0, _I0, _I0, _I0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cap_s, n_ch * order, order * order),
+            lambda p: (p, _I0, _I0, _I0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_prog, cap_s, n_ch * order, order * order), g_mesh.dtype
+        ),
+        interpret=interpret,
+    )(counts_s, m_bs, blk)
+
+    g_q = _gather_postprocess(
+        out.reshape(n_slabs, cap_pad, n_ch * order, order * order),
+        sort_order, take, counts, cap_pad, n, n_ch, order,
+    )
+    return g_q, overflow

@@ -137,10 +137,15 @@ class SCFConfig:
         ladder (warm start + one drift step, examples/fh_accuracy_cpu.out):
         force error 4.1e-5 relative at ~2 warm PCG iterations/step — an
         order of magnitude below the f32 working-precision floor (4.3e-4),
-        where the reference's own tolerance leaves 3.7e-3. Use the default
-        SCFConfig() (exact adjoint) for fitting or any loss that reads the
-        dipoles."""
-        return SCFConfig(exact_adjoint=False, field_tol=0.3)
+        where the reference's own tolerance leaves 3.7e-3. The PCG matvec
+        runs on an order-4, half-resolution dipole mesh: measured
+        accuracy-free (4.116e-5 -> 4.128e-5 warm, 1.83e-4 -> 2.05e-4 cold,
+        examples/fh_accuracy_cpu.out) and 40.0 -> 31.3 ms/step on the
+        3000-atom TPU bench (examples/pol_ablation_tpu.out). Use the
+        default SCFConfig() (exact adjoint) for fitting or any loss that
+        reads the dipoles."""
+        return SCFConfig(exact_adjoint=False, field_tol=0.3,
+                         matvec_spread_order=4, matvec_grid_div=2)
 
 
 @dataclasses.dataclass(frozen=True)

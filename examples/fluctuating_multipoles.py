@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--n-side", type=int, default=8)
     ap.add_argument("--rc", type=float, default=4.0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--k", type=int, default=0,
+                    help="override the FFT grid (0 = ethresh heuristic). "
+                         "K=256 at n_side=32 measured 3.16e-4 recip force "
+                         "error of total-F rms vs a K=384 f64 oracle — "
+                         "under the f32 floor (examples/grid_98k_cpu.out)")
     ap.add_argument("--sharded", action="store_true",
                     help="shard over all visible devices")
     args = ap.parse_args()
@@ -114,6 +119,9 @@ def main():
             box, s["axis_types"], s["axis_indices"], exclusions,
             args.rc, 1e-4, lmax=2, fft_friendly_grid=True,
         )
+        if args.k:
+            force.K1 = force.K2 = force.K3 = args.k
+            force.refresh_calculators()
 
         def energy(positions):
             return force.get_energy(

@@ -155,3 +155,44 @@ def test_auto_dispatch_block_configs_at_scale():
                                       1, 98304) is None
     finally:
         R._pallas_backend_ok = orig
+
+
+def test_windowed_gather_adjoint_matches_flat_gather_interpret():
+    """The Pallas windowed-gather adjoint (spread backward) must equal the
+    flat XLA gather exactly — same values, different access pattern (the
+    flat gather is per-element bound on TPU: examples/gather_98k_tpu.out).
+    Covers 1-D slab + 2-D block decompositions, single/multi channel,
+    order 6/4, and a grid smaller than the aligned window (multi-wrap)."""
+    from admp_tpu.ops.pallas import spread as sp
+
+    rng = np.random.default_rng(5)
+    cases = [
+        ("2d", (64, 32, 32), dict(nx=8, ny=4), 1, 6),
+        ("2d", (32, 32, 32), dict(nx=4, ny=2), 1, 6),  # k3 < _ZW: multi-wrap
+        ("1d", (128, 64, 64), dict(n_slabs=8), 1, 6),
+        ("1d", (32, 32, 32), dict(n_slabs=4), 3, 4),   # dispersion-style
+    ]
+    for kind, grid, kw, n_ch, order in cases:
+        n = 700
+        m_u0 = jnp.asarray(
+            rng.integers(0, grid, size=(n, 3)), dtype=jnp.int32
+        )
+        g_mesh = jnp.asarray(
+            rng.standard_normal((n_ch,) + grid), dtype=jnp.float32
+        )
+        want = np.asarray(sp._flat_gather(m_u0, g_mesh, grid, order))
+        if kind == "2d":
+            got, ovf = sp._pallas_gather2d_impl(
+                m_u0, g_mesh, grid, kw["nx"], kw["ny"], interpret=True,
+                order=order,
+            )
+        else:
+            got, ovf = sp._pallas_gather_slabs_impl(
+                m_u0, g_mesh, grid, kw["n_slabs"], interpret=True,
+                order=order,
+            )
+        assert not bool(ovf)
+        np.testing.assert_array_equal(
+            np.asarray(got).reshape(want.shape), want,
+            err_msg=f"{kind} {grid} C={n_ch} order={order}",
+        )
