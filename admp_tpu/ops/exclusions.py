@@ -37,16 +37,26 @@ class SparseExclusions:
         return cls(children[0], children[1], aux)
 
     def lookup(self, i, j):
-        """Topological distance for pair arrays (i, j); 0 if not excluded."""
-        rows_idx = self.idx[i]          # (P, W)
-        rows_dist = self.dist[i]        # (P, W)
-        match = rows_idx == j[..., None]
-        return jnp.sum(jnp.where(match, rows_dist, 0), axis=-1)
+        """Topological distance for pair arrays (i, j); 0 if not excluded.
+
+        idx and dist are packed into one int32 word (idx*16 + dist; distances
+        are <= max_depth <= 15) so the per-pair cost is ONE row gather instead
+        of two — the pack itself is an O(N*W) elementwise op, negligible next
+        to the (P, W) gathers it halves."""
+        packed = self.idx * jnp.int32(16) + self.dist.astype(jnp.int32)
+        rows = packed[i]                # (P, W)
+        match = (rows // 16) == j[..., None]
+        return jnp.sum(jnp.where(match, rows % 16, 0), axis=-1)
 
 
 def build_sparse_exclusions(bonds, n_atoms: int, max_depth: int = 6,
                             width: int | None = None) -> SparseExclusions:
     """BFS the bond graph up to ``max_depth`` into fixed-width per-atom lists."""
+    if not 0 <= max_depth <= 15:
+        raise ValueError(
+            f"max_depth={max_depth} must be <= 15 (distances are packed into "
+            "4 bits alongside the neighbor index for single-gather lookup)"
+        )
     adj = defaultdict(list)
     for i, j in bonds:
         adj[i].append(j)

@@ -48,6 +48,44 @@ def pallas_spread_available() -> bool:
     return _PALLAS_OK
 
 
+def _bucket_sort(bid, nb: int, cap: int):
+    """Sorted bucket membership for the block kernels.
+
+    Returns ``(sort_order, take, counts, overflow)``: the bucket-sorted
+    permutation, the (nb, cap) CONTIGUOUS window-take into sorted order
+    (slots past a bucket's count alias the next bucket's atoms — callers
+    mask by ``counts``), per-bucket occupancy, and the overflow flag.
+
+    Perf notes (98k/K=256 measurements): a single packed-key sort (bucket
+    id in the high bits, atom index low) replaces the two-operand argsort.
+    Callers MUST move heavy rows as sorted-materialize + contiguous take
+    (``q[sort_order][take]``); composing into one random-row gather
+    ``q[sort_order[take]]`` measured SLOWER (111.5 -> 127.7 ms full
+    forward) — XLA lowers the iota-strided window take far better than a
+    random gather of the same rows.
+    """
+    n = bid.shape[0]
+    bits = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    if (nb << bits) < 2 ** 31:
+        key = jnp.sort(
+            bid.astype(jnp.int32) * np.int32(1 << bits)
+            + jnp.arange(n, dtype=jnp.int32)
+        )
+        sort_order = jnp.bitwise_and(key, np.int32((1 << bits) - 1))
+        sorted_ids = jnp.right_shift(key, np.int32(bits))
+    else:  # pragma: no cover - >2^31 key space (huge N * many buckets)
+        sort_order = jnp.argsort(bid).astype(jnp.int32)
+        sorted_ids = bid[sort_order]
+    b_iota = jnp.arange(nb, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_ids, b_iota).astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_ids, b_iota + 1).astype(jnp.int32)
+    counts = ends - starts
+    overflow = jnp.any(counts > cap)
+    take = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+    take = jnp.minimum(take, n - 1)
+    return sort_order, take, counts, overflow
+
+
 def _make_spread_kernel(order: int, n_ch: int):
     """Kernel factory: one program = one x-slab; ``order``-wide stencils and
     ``n_ch`` channels sharing indices (dispersion spreads C6/C8/C10 on the
@@ -65,8 +103,11 @@ def _make_spread_kernel(order: int, n_ch: int):
     dot_general inside fori_loop, so no MXU placement here.
     """
 
-    def kernel(counts_ref, m_u0_ref, q_ref, out_ref):
+    def kernel(counts_ref, m_u0_ref, q_ref, out_ref, upd_ref):
         out_ref[...] = jnp.zeros_like(out_ref)
+        # rows order..YW-1 of the staging scratch are never written in the
+        # atom loop; zero them once
+        upd_ref[...] = jnp.zeros_like(upd_ref)
         count = counts_ref[pl.program_id(0)]
         a_max = m_u0_ref.shape[1]
         # int32 loop bounds: under jax_enable_x64 python-int bounds make the
@@ -76,8 +117,7 @@ def _make_spread_kernel(order: int, n_ch: int):
         lo = jnp.asarray(0, jnp.int32)
         hi = jnp.asarray(a_max, jnp.int32)
 
-        y_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _YW, 1), 1)
-        z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _ZW), 2)
+        z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _ZW), 1)
 
         def body(k, _):
             @pl.when(k < count)
@@ -96,16 +136,24 @@ def _make_spread_kernel(order: int, n_ch: int):
                 yo = y0 - yb
                 zo = z0 - zb
                 blk = q_ref[0, k]  # (C*order, order^2)
-                # z-combine once per (j, l): the one-hot selects are shared
-                # by all channels (identical geometry)
-                upd = jnp.zeros((n_ch * order, _YW, _ZW), blk.dtype)
+                # z-combine once per (j, l) — the one-hot selects are shared
+                # by all channels (identical geometry) — staged through a
+                # VMEM scratch at STATIC row j, then y-placed with ONE
+                # dynamic rotate (pltpu.roll) of the loaded window. The
+                # previous per-j one-hot broadcast FMA over the full
+                # (C*order, YW, ZW) window was ~85% of the kernel's VPU work
+                # (~426k of ~500k element-ops/atom at order 6, C=1).
+                # Value-level assembly is NOT lowerable: both sublane-axis
+                # stacks and transpose(stack-on-leading-axis) hit Mosaic
+                # 'offset mismatch on non-concat dimension' (the latter only
+                # in large fused programs) — the scratch staging is.
                 for j in range(order):
-                    tmp = jnp.zeros((n_ch * order, 1, _ZW), blk.dtype)
+                    tmp = jnp.zeros((n_ch * order, _ZW), blk.dtype)
                     for l in range(order):
                         sel = (z_iota == zo + l).astype(blk.dtype)
-                        tmp = tmp + blk[:, j * order + l][:, None, None] * sel
-                    pick = (y_iota == yo + j).astype(blk.dtype)
-                    upd = upd + tmp * pick
+                        tmp = tmp + blk[:, j * order + l][:, None] * sel
+                    upd_ref[:, j, :] = tmp
+                upd = pltpu.roll(upd_ref[...], yo, 1)
                 yb = pl.multiple_of(yb, 8)
                 zb = pl.multiple_of(zb, 128)
                 for c in range(n_ch):
@@ -149,29 +197,16 @@ def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False,
     ).astype(jnp.int32)
 
     slab_id = base[:, 0] // width
-    sort_order = jnp.argsort(slab_id)
-    sorted_ids = slab_id[sort_order]
-    base_s = base[sort_order]
-    q_s = q_points[sort_order].reshape(n, n_ch * order, order * order)
-
-    # int32 index arithmetic throughout: under jax_enable_x64 a bare arange is
-    # int64 and scatter-adding it into the int32 base indices is a JAX
-    # FutureWarning on its way to a hard error (ADVICE round 2)
-    slab_iota = jnp.arange(n_slabs, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_ids, slab_iota).astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_ids, slab_iota + 1).astype(jnp.int32)
-    counts = ends - starts
     # static per-slab capacity: 2.5x the mean, bounded by n. Keeping it small
     # matters: Pallas double-buffers VMEM inputs, and the slab accumulator is
     # already several MB. Overflow is reported to the caller.
     cap = min(n, int(np.ceil(n / n_slabs * 2.5)) + 32)
-    overflow = jnp.any(counts > cap)
+    sort_order, take, counts, overflow = _bucket_sort(slab_id, n_slabs, cap)
 
-    take = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
-    take = jnp.minimum(take, n - 1)
-    m_b = base_s[take]
+    slab_iota = jnp.arange(n_slabs, dtype=jnp.int32)
+    m_b = base[sort_order][take]
     m_b = m_b.at[..., 0].add(-(slab_iota * width)[:, None])
-    q_b = q_s[take]
+    q_b = q_points.reshape(n, n_ch * order, order * order)[sort_order][take]
 
     out = pl.pallas_call(
         _make_spread_kernel(order, n_ch),
@@ -197,6 +232,9 @@ def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False,
         out_shape=jax.ShapeDtypeStruct(
             (n_slabs, n_ch, width + halo, k2pad, k3pad), q_points.dtype
         ),
+        scratch_shapes=[
+            pltpu.VMEM((n_ch * order, _YW, _ZW), q_points.dtype)
+        ],
         interpret=interpret,
     )(counts, m_b, q_b)
 
@@ -306,18 +344,14 @@ def _flat_gather(m_u0, g_mesh, grid_shape, order):
 
 def _spread_blocks_bwd(grid_shape, n_slabs, interpret, m_u0, g_mesh):
     # windowed-gather kernel (the XLA flat gather is per-element bound:
-    # ~62M elem/s measured — examples/gather_98k_tpu.out); flat-gather
-    # fallback when a bucket overflowed (the forward used the scatter then,
-    # and the kernel would drop the overflow atoms' cotangents)
+    # ~62M elem/s measured — examples/gather_98k_tpu.out), via the
+    # DIFFERENTIABLE gather_blocks op (flat-gather fallback on overflow
+    # inside): the polarizable implicit adjoint differentiates this bwd
+    # again, and a raw pallas_call is not differentiable (see the
+    # first-class gathers section below)
     n = m_u0.shape[0]
-    g_k, overflow = _pallas_gather_slabs_impl(
-        m_u0, g_mesh[None], grid_shape, n_slabs, interpret
-    )
-    g_q = jax.lax.cond(
-        overflow,
-        lambda: _flat_gather(m_u0, g_mesh[None], grid_shape, 6),
-        lambda: g_k,
-    )
+    g_q = gather_blocks(m_u0, g_mesh[None], grid_shape, 6, n_slabs,
+                        interpret)
     return None, g_q.reshape(n, 6, 6, 6)
 
 
@@ -370,15 +404,8 @@ def _spread_blocks_multi_fwd(m_u0, q_points, grid_shape, order, n_slabs=16,
 
 def _spread_blocks_multi_bwd(grid_shape, order, n_slabs, interpret, m_u0,
                              g_mesh):
-    g_k, overflow = _pallas_gather_slabs_impl(
-        m_u0, g_mesh, grid_shape, n_slabs, interpret, order
-    )
-    g_q = jax.lax.cond(
-        overflow,
-        lambda: _flat_gather(m_u0, g_mesh, grid_shape, order),
-        lambda: g_k,
-    )
-    return None, g_q
+    return None, gather_blocks(m_u0, g_mesh, grid_shape, order, n_slabs,
+                               interpret)
 
 
 spread_blocks_multi.defvjp(_spread_blocks_multi_fwd, _spread_blocks_multi_bwd)
@@ -462,24 +489,14 @@ def _pallas_spread2d_impl(m_u0, q_points, grid_shape, nx, ny, interpret=False,
     ).astype(jnp.int32)
 
     bid = (base[:, 0] // wx) * ny + base[:, 1] // wy
-    sort_order = jnp.argsort(bid)
-    sorted_ids = bid[sort_order]
-    base_s = base[sort_order]
-    q_s = q_points[sort_order].reshape(n, n_ch * order, order * order)
+    cap = min(n, int(np.ceil(n / nb * 2.5)) + 32)
+    sort_order, take, counts, overflow = _bucket_sort(bid, nb, cap)
 
     b_iota = jnp.arange(nb, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_ids, b_iota).astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_ids, b_iota + 1).astype(jnp.int32)
-    counts = ends - starts
-    cap = min(n, int(np.ceil(n / nb * 2.5)) + 32)
-    overflow = jnp.any(counts > cap)
-
-    take = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
-    take = jnp.minimum(take, n - 1)
-    m_b = base_s[take]
+    m_b = base[sort_order][take]
     m_b = m_b.at[..., 0].add(-((b_iota // ny) * wx)[:, None])
     m_b = m_b.at[..., 1].add(-((b_iota % ny) * wy)[:, None])
-    q_b = q_s[take]
+    q_b = q_points.reshape(n, n_ch * order, order * order)[sort_order][take]
 
     out = pl.pallas_call(
         _make_spread_kernel(order, n_ch),
@@ -503,6 +520,9 @@ def _pallas_spread2d_impl(m_u0, q_points, grid_shape, nx, ny, interpret=False,
         out_shape=jax.ShapeDtypeStruct(
             (nb, n_ch, wx + halo, wy + _YW, k3pad), q_points.dtype
         ),
+        scratch_shapes=[
+            pltpu.VMEM((n_ch * order, _YW, _ZW), q_points.dtype)
+        ],
         interpret=interpret,
     )(counts, m_b, q_b)
     out = out.reshape(nx, ny, n_ch, wx + halo, wy + _YW, k3pad)
@@ -565,14 +585,8 @@ def _spread_blocks_2d_fwd(m_u0, q_points, grid_shape, nx, ny, interpret=False):
 
 def _spread_blocks_2d_bwd(grid_shape, nx, ny, interpret, m_u0, g_mesh):
     n = m_u0.shape[0]
-    g_k, overflow = _pallas_gather2d_impl(
-        m_u0, g_mesh[None], grid_shape, nx, ny, interpret
-    )
-    g_q = jax.lax.cond(
-        overflow,
-        lambda: _flat_gather(m_u0, g_mesh[None], grid_shape, 6),
-        lambda: g_k,
-    )
+    g_q = gather_blocks_2d(m_u0, g_mesh[None], grid_shape, 6, nx, ny,
+                           interpret)
     return None, g_q.reshape(n, 6, 6, 6)
 
 
@@ -627,6 +641,15 @@ def _make_gather_kernel(order: int, n_ch: int):
                 zb = pl.multiple_of(zb, 128)
                 chans = []
                 for c in range(n_ch):
+                    # y-un-place with per-j one-hot pick-and-reduce. A single
+                    # inverse pltpu.roll of the window would be ~order-times
+                    # cheaper on the VPU, but the rolled value is consumed by
+                    # an autodiff-context program and Mosaic fails layout
+                    # assignment ('result/input offset mismatch on non-concat
+                    # dimension') even when the load is laundered through a
+                    # VMEM scratch — keep the select form, which lowers
+                    # everywhere (the forward spread kernel's roll DOES
+                    # lower; the asymmetry is the dynamic-slice source here).
                     cur = g_ref[
                         0, c, pl.ds(x0, order), pl.ds(yb, _YW), pl.ds(zb, _ZW)
                     ]  # (order, _YW, _ZW)
@@ -666,17 +689,21 @@ def _pad_cotangent(g_mesh, x_extent, order):
     return g
 
 
-def _gather_postprocess(out, sort_order, take, counts, cap_pad, n, n_ch,
-                        order):
-    """Scatter per-slot kernel outputs back to atom order. Slots beyond a
-    bucket's count are routed to a dump row (n) and discarded."""
-    nb = counts.shape[0]
+def _gather_postprocess(out, atom_ix, counts, n, n_ch, order):
+    """Reorder per-slot kernel outputs back to atom order: build the inverse
+    permutation (slot index of each atom — a tiny int32 scatter) and gather
+    exactly n rows. Scattering the capacity-padded rows instead
+    (``res.at[ids].set(rows)``) moves cap_factor-times the HBM traffic."""
+    nb, cap_pad = atom_ix.shape
     rows = out.reshape(nb * cap_pad, n_ch * order, order * order)
     slot = jnp.arange(cap_pad, dtype=jnp.int32)[None, :]
-    atom_ids = sort_order[take]
-    ids = jnp.where(slot < counts[:, None], atom_ids, n).reshape(-1)
-    res = jnp.zeros((n + 1,) + rows.shape[1:], rows.dtype)
-    res = res.at[ids].set(rows)[:n]
+    # slots past a bucket's count alias other atoms' ids: route them to a
+    # dump entry (n) so each real atom's inverse entry is written exactly once
+    ids = jnp.where(slot < counts[:, None], atom_ix, n).reshape(-1)
+    inv = jnp.zeros((n + 1,), jnp.int32).at[ids].set(
+        jnp.arange(nb * cap_pad, dtype=jnp.int32)
+    )
+    res = rows[inv[:n]]
     return res.reshape(n, n_ch, order ** 3)
 
 
@@ -704,26 +731,20 @@ def _pallas_gather2d_impl(m_u0, g_mesh, grid_shape, nx, ny, interpret=False,
         axis=-1,
     ).astype(jnp.int32)
     bid = (base[:, 0] // wx) * ny + base[:, 1] // wy
-    sort_order = jnp.argsort(bid)
-    sorted_ids = bid[sort_order]
-    base_s = base[sort_order]
-
-    b_iota = jnp.arange(nb, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_ids, b_iota).astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_ids, b_iota + 1).astype(jnp.int32)
-    counts = ends - starts
     cap = min(n, int(np.ceil(n / nb * 2.5)) + 32)
-    overflow = jnp.any(counts > cap)
-
     # sub-chunk the atom axis so the (cap_s, C*order, order^2) out block
     # (tile-padded to cap_s x 8 x 128 per channel-row) stays ~2 MB
     cap_s = min(cap, 512)
     s_chunks = -(-cap // cap_s)
     cap_pad = cap_s * s_chunks
+    sort_order, take, counts, _ = _bucket_sort(bid, nb, cap_pad)
+    # the overflow decision must MATCH the forward's (cap, not cap_pad):
+    # forward and adjoint lax.cond onto the fallback together or not at all
+    overflow = jnp.any(counts > cap)
+    atom_ix = sort_order[take]
 
-    take = starts[:, None] + jnp.arange(cap_pad, dtype=jnp.int32)[None, :]
-    take = jnp.minimum(take, n - 1)
-    m_b = base_s[take]
+    b_iota = jnp.arange(nb, dtype=jnp.int32)
+    m_b = base[sort_order][take]
     m_b = m_b.at[..., 0].add(-((b_iota // ny) * wx)[:, None])
     m_b = m_b.at[..., 1].add(-((b_iota % ny) * wy)[:, None])
 
@@ -780,7 +801,7 @@ def _pallas_gather2d_impl(m_u0, g_mesh, grid_shape, nx, ny, interpret=False,
 
     g_q = _gather_postprocess(
         out.reshape(nb, cap_pad, n_ch * order, order * order),
-        sort_order, take, counts, cap_pad, n, n_ch, order,
+        atom_ix, counts, n, n_ch, order,
     )
     return g_q, overflow
 
@@ -807,24 +828,18 @@ def _pallas_gather_slabs_impl(m_u0, g_mesh, grid_shape, n_slabs,
         axis=-1,
     ).astype(jnp.int32)
     slab_id = base[:, 0] // width
-    sort_order = jnp.argsort(slab_id)
-    sorted_ids = slab_id[sort_order]
-    base_s = base[sort_order]
-
-    slab_iota = jnp.arange(n_slabs, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_ids, slab_iota).astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_ids, slab_iota + 1).astype(jnp.int32)
-    counts = ends - starts
     cap = min(n, int(np.ceil(n / n_slabs * 2.5)) + 32)
-    overflow = jnp.any(counts > cap)
-
     cap_s = min(cap, 512)
     s_chunks = -(-cap // cap_s)
     cap_pad = cap_s * s_chunks
+    sort_order, take, counts, _ = _bucket_sort(slab_id, n_slabs, cap_pad)
+    # the overflow decision must MATCH the forward's (cap, not cap_pad):
+    # forward and adjoint lax.cond onto the fallback together or not at all
+    overflow = jnp.any(counts > cap)
+    atom_ix = sort_order[take]
 
-    take = starts[:, None] + jnp.arange(cap_pad, dtype=jnp.int32)[None, :]
-    take = jnp.minimum(take, n - 1)
-    m_b = base_s[take]
+    slab_iota = jnp.arange(n_slabs, dtype=jnp.int32)
+    m_b = base[sort_order][take]
     m_b = m_b.at[..., 0].add(-(slab_iota * width)[:, None])
 
     g_pad = _pad_cotangent(g_mesh, n_slabs * width + halo, order)
@@ -871,6 +886,126 @@ def _pallas_gather_slabs_impl(m_u0, g_mesh, grid_shape, n_slabs,
 
     g_q = _gather_postprocess(
         out.reshape(n_slabs, cap_pad, n_ch * order, order * order),
-        sort_order, take, counts, cap_pad, n, n_ch, order,
+        atom_ix, counts, n, n_ch, order,
     )
     return g_q, overflow
+
+
+# ---------------------------------------------------------------------------
+# First-class differentiable gathers.
+#
+# The spread bwds above CALL these instead of the raw _pallas_gather_* impls.
+# That matters for higher-order differentiation: the polarizable implicit-VJP
+# adjoint (scf/solver.py solve_bwd) takes jax.vjp of a field function whose
+# PRIMAL already contains a gather (the inner jax.grad that builds the field
+# puts the spread adjoint into the forward graph). Differentiating a raw
+# pallas_call routes through JAX's fallback JVP rule, which retraces the
+# kernel jaxpr outside a pallas grid env and dies with
+# 'assert env.grid_context is not None' (jax/_src/pallas/core.py:306).
+# Spread and gather are mutually adjoint linear maps (for fixed integer base
+# indices), so wrapping each as a custom_vjp whose bwd is the OTHER gives
+# arbitrary-order derivatives that always execute as Pallas kernels.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def gather_blocks(m_u0, g_mesh, grid_shape, order=6, n_slabs=16,
+                  interpret=False):
+    """Windowed gather (slab decomposition): (C, K1, K2, K3) mesh cotangent
+    -> (N, C, order^3) per-atom stencil cotangents, flat-gather fallback on
+    bucket overflow. Linear in ``g_mesh``; VJP = spread_blocks_multi."""
+    g_k, overflow = _pallas_gather_slabs_impl(
+        m_u0, g_mesh, grid_shape, n_slabs, interpret, order
+    )
+    return jax.lax.cond(
+        overflow,
+        lambda: _flat_gather(m_u0, g_mesh, grid_shape, order),
+        lambda: g_k,
+    )
+
+
+def _gather_blocks_fwd(m_u0, g_mesh, grid_shape, order=6, n_slabs=16,
+                       interpret=False):
+    return (
+        gather_blocks(m_u0, g_mesh, grid_shape, order, n_slabs, interpret),
+        m_u0,
+    )
+
+
+def _gather_blocks_bwd(grid_shape, order, n_slabs, interpret, m_u0, ct):
+    return None, spread_blocks_multi(
+        m_u0, ct, grid_shape, order, n_slabs, interpret
+    )
+
+
+gather_blocks.defvjp(_gather_blocks_fwd, _gather_blocks_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def spread_blocks_2d_multi(m_u0, q_points, grid_shape, order=6, nx=8, ny=8,
+                           interpret=False):
+    """Multi-channel 2-D blocked spread: (N, C, order^3) -> (C, K1, K2, K3);
+    XLA-scatter fallback on overflow, gather_blocks_2d adjoint."""
+    mesh, overflow = _pallas_spread2d_impl(
+        m_u0, q_points, grid_shape, nx, ny, interpret, order
+    )
+    return jax.lax.cond(
+        overflow,
+        lambda: _xla_scatter_multi(m_u0, q_points, grid_shape, order),
+        lambda: mesh,
+    )
+
+
+def _spread_blocks_2d_multi_fwd(m_u0, q_points, grid_shape, order=6, nx=8,
+                                ny=8, interpret=False):
+    return (
+        spread_blocks_2d_multi(
+            m_u0, q_points, grid_shape, order, nx, ny, interpret
+        ),
+        m_u0,
+    )
+
+
+def _spread_blocks_2d_multi_bwd(grid_shape, order, nx, ny, interpret, m_u0,
+                                g_mesh):
+    return None, gather_blocks_2d(m_u0, g_mesh, grid_shape, order, nx, ny,
+                                  interpret)
+
+
+spread_blocks_2d_multi.defvjp(
+    _spread_blocks_2d_multi_fwd, _spread_blocks_2d_multi_bwd
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def gather_blocks_2d(m_u0, g_mesh, grid_shape, order=6, nx=8, ny=8,
+                     interpret=False):
+    """Windowed gather (2-D (x, y) block decomposition): (C, K1, K2, K3)
+    mesh cotangent -> (N, C, order^3); flat-gather fallback on overflow.
+    Linear in ``g_mesh``; VJP = spread_blocks_2d_multi (so second-order
+    pulls stay on the VMEM-eligible 2-D kernels at K=320-class grids)."""
+    g_k, overflow = _pallas_gather2d_impl(
+        m_u0, g_mesh, grid_shape, nx, ny, interpret, order
+    )
+    return jax.lax.cond(
+        overflow,
+        lambda: _flat_gather(m_u0, g_mesh, grid_shape, order),
+        lambda: g_k,
+    )
+
+
+def _gather_blocks_2d_fwd(m_u0, g_mesh, grid_shape, order=6, nx=8, ny=8,
+                          interpret=False):
+    return (
+        gather_blocks_2d(m_u0, g_mesh, grid_shape, order, nx, ny, interpret),
+        m_u0,
+    )
+
+
+def _gather_blocks_2d_bwd(grid_shape, order, nx, ny, interpret, m_u0, ct):
+    return None, spread_blocks_2d_multi(
+        m_u0, ct, grid_shape, order, nx, ny, interpret
+    )
+
+
+gather_blocks_2d.defvjp(_gather_blocks_2d_fwd, _gather_blocks_2d_bwd)

@@ -54,6 +54,11 @@ def pair_displacement_components(positions, box, i, j, mask):
     seed) reuse without a second gather.
     """
     p_i, p_j = positions[i], positions[j]
+    return _displacement_from_rows(p_i, p_j, box, mask) + (p_i, p_j)
+
+
+def _displacement_from_rows(p_i, p_j, box, mask):
+    """Displacement/norm math given already-gathered (C, 3) position rows."""
     dx = p_i[:, 0] - p_j[:, 0]
     dy = p_i[:, 1] - p_j[:, 1]
     dz = p_i[:, 2] - p_j[:, 2]
@@ -70,7 +75,7 @@ def pair_displacement_components(positions, box, i, j, mask):
     sq = dx * dx + dy * dy + dz * dz
     sq_safe = jnp.where(mask, sq, 1.0)
     r = jnp.where(mask, jnp.sqrt(sq_safe), jnp.ones_like(sq))
-    return dx, dy, dz, r, 1.0 / r, p_i, p_j
+    return dx, dy, dz, r, 1.0 / r
 
 
 def qi_pair_components(positions, box, q_comps, i, j, mask, lmax: int,
@@ -96,12 +101,28 @@ def qi_pair_components(positions, box, q_comps, i, j, mask, lmax: int,
       (r, qi_i, qi_j, ui, uj): r (C,) sanitized distances; qi_* component
       tuples in the QI frame; ui/uj component triples or None.
     """
-    # shared geometry front (one AoS gather per site — TPU gathers fetch a
-    # padded row per index, so a single (C, 3) gather beats three 1-D
-    # gathers — then (C,) components throughout)
-    dx, dy, dz, r, rinv, p_i, p_j = pair_displacement_components(
-        positions, box, i, j, mask
-    )
+    # Packed-row gathers: TPU gathers (and their scatter-add transposes in
+    # the backward pass) are row-count bound, so positions + multipoles
+    # (+ induced dipoles) are concatenated into ONE (N, 3+H(+3)) table and
+    # each site costs a single row gather — halving the pair pass's
+    # gather/scatter count vs separate position/multipole tables.
+    n_h = (lmax + 1) ** 2
+    cols = [positions, q_comps[:, :n_h]]
+    if u_comps is not None and u_comps.dtype == positions.dtype:
+        cols.append(u_comps)
+        packed_u = True
+    else:
+        packed_u = False
+    if q_comps.dtype == positions.dtype:
+        packed = jnp.concatenate(cols, axis=1)
+        g_i, g_j = packed[i], packed[j]
+        p_i, p_j = g_i[:, :3], g_j[:, :3]
+        qg_i, qg_j = g_i[:, 3:3 + n_h], g_j[:, 3:3 + n_h]
+    else:  # mixed-precision modes keep separate gathers
+        p_i, p_j = positions[i], positions[j]
+        qg_i, qg_j = q_comps[i, :n_h], q_comps[j, :n_h]
+        packed_u = False
+    dx, dy, dz, r, rinv = _displacement_from_rows(p_i, p_j, box, mask)
     yi, zi = p_i[:, 1], p_i[:, 2]
     yj, zj = p_j[:, 1], p_j[:, 2]
 
@@ -132,8 +153,6 @@ def qi_pair_components(positions, box, q_comps, i, j, mask, lmax: int,
     fyz = fzx * fxy - fzy * fxx
 
     frame = (fxx, fxy, fxz, fyx, fyy, fyz, fzx, fzy, fzz)
-    n_h = (lmax + 1) ** 2
-    qg_i, qg_j = q_comps[i], q_comps[j]  # AoS gathers, then unpack
     q_i = tuple(qg_i[:, k] for k in range(n_h))
     q_j = tuple(qg_j[:, k] for k in range(n_h))
     qi_i = _rotate_harm_soa(q_i, frame, lmax)
@@ -141,7 +160,10 @@ def qi_pair_components(positions, box, q_comps, i, j, mask, lmax: int,
 
     ui = uj = None
     if u_comps is not None:
-        ug_i, ug_j = u_comps[i], u_comps[j]
+        if packed_u:
+            ug_i, ug_j = g_i[:, 3 + n_h:], g_j[:, 3 + n_h:]
+        else:
+            ug_i, ug_j = u_comps[i], u_comps[j]
         zero = jnp.zeros_like(r)
         ui = _rotate_harm_soa(
             (zero, ug_i[:, 0], ug_i[:, 1], ug_i[:, 2]), frame, 1

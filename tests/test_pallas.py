@@ -196,3 +196,64 @@ def test_windowed_gather_adjoint_matches_flat_gather_interpret():
             np.asarray(got).reshape(want.shape), want,
             err_msg=f"{kind} {grid} C={n_ch} order={order}",
         )
+
+
+def test_second_order_differentiation_through_spread_and_gather():
+    """The polarizable implicit adjoint (scf/solver.py solve_bwd) takes
+    jax.vjp of a field function whose primal already CONTAINS the spread
+    adjoint (an inner jax.grad puts the gather kernel in the forward graph).
+    The gathers must therefore be differentiable themselves; a raw
+    pallas_call dies at trace time ('assert env.grid_context is not None').
+    Checks slab and 2-D variants against the all-XLA scatter second order."""
+    import jax
+
+    from admp_tpu.ops.pallas.spread import spread_blocks, spread_blocks_2d
+
+    if not pallas_spread_available():
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(3)
+    n, k = 200, 32
+    m_u0 = jnp.asarray(rng.integers(0, k, (n, 3)), jnp.int32)
+    q0 = jnp.asarray(rng.normal(size=(n, 6, 6, 6)).astype(np.float32))
+
+    def xla_spread(q):
+        off = jnp.arange(-3, 3)
+        i1 = jnp.mod(m_u0[:, 0:1] + off[None], k)
+        i2 = jnp.mod(m_u0[:, 1:2] + off[None], k)
+        i3 = jnp.mod(m_u0[:, 2:3] + off[None], k)
+        return (
+            jnp.zeros((k, k, k), jnp.float32)
+            .at[i1[:, :, None, None], i2[:, None, :, None],
+                i3[:, None, None, :]]
+            .add(q)
+        )
+
+    def make_loss(spread):
+        def field(q):  # gather appears in the PRIMAL graph via inner grad
+            mesh = spread(q0)
+            return jax.grad(lambda qq: jnp.sum(spread(qq) * mesh))(q)
+
+        @jax.custom_vjp
+        def solve(q):
+            return field(q)
+
+        def fwd(q):
+            return field(q), q
+
+        def bwd(q, g):  # differentiates the gather -> needs its custom_vjp
+            _, vjp_fn = jax.vjp(field, q)
+            return vjp_fn(g)
+
+        solve.defvjp(fwd, bwd)
+        return lambda q: jnp.sum(solve(q) ** 2)
+
+    _, g_ref = jax.value_and_grad(make_loss(xla_spread))(q0)
+    for spread in (
+        lambda q: spread_blocks(m_u0, q, (k, k, k), 4, True),
+        lambda q: spread_blocks_2d(m_u0, q, (k, k, k), 2, 2, True),
+    ):
+        val, g = jax.value_and_grad(make_loss(spread))(q0)
+        assert np.isfinite(float(val))
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(g_ref), rtol=2e-4, atol=2e-2
+        )
