@@ -641,15 +641,15 @@ def _make_gather_kernel(order: int, n_ch: int):
                 zb = pl.multiple_of(zb, 128)
                 chans = []
                 for c in range(n_ch):
-                    # y-un-place with per-j one-hot pick-and-reduce. A single
-                    # inverse pltpu.roll of the window would be ~order-times
-                    # cheaper on the VPU, but the rolled value is consumed by
-                    # an autodiff-context program and Mosaic fails layout
-                    # assignment ('result/input offset mismatch on non-concat
-                    # dimension') even when the load is laundered through a
-                    # VMEM scratch — keep the select form, which lowers
-                    # everywhere (the forward spread kernel's roll DOES
-                    # lower; the asymmetry is the dynamic-slice source here).
+                    # y-un-place with per-j one-hot pick-and-reduce. Two
+                    # cheaper-looking forms measured/ruled out on TPU:
+                    # (a) ONE inverse pltpu.roll of the window — Mosaic fails
+                    # layout assignment in autodiff-context programs ('offset
+                    # mismatch on non-concat dimension') even scratch-staged;
+                    # (b) per-row loads at dynamic sublane offset y0+j —
+                    # lowers, but measured SLOWER (98k/K=256 gather adjoint
+                    # 194.8 -> 203.5 ms): unaligned sublane extraction costs
+                    # more than the picks it removes.
                     cur = g_ref[
                         0, c, pl.ds(x0, order), pl.ds(yb, _YW), pl.ds(zb, _ZW)
                     ]  # (order, _YW, _ZW)

@@ -51,6 +51,8 @@ def main():
     n_real = int(jnp.sum(nl.pairs[:, 0] < positions.shape[0]))
     emit(f"allocation: {t_alloc:.1f} s  (capacity {nl.capacity}, "
          f"{n_real} real pairs, overflow={bool(nl.did_overflow)})")
+    emit("# (cold-cache allocation recompiles through the remote tunnel: "
+         "~37 s; the persistent XLA cache makes warm processes ~4.7 s)")
 
     # jitted fixed-capacity update (the per-refresh path inside MD)
     n_cells = nl.n_cells
