@@ -206,7 +206,14 @@ def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False,
     slab_iota = jnp.arange(n_slabs, dtype=jnp.int32)
     m_b = base[sort_order][take]
     m_b = m_b.at[..., 0].add(-(slab_iota * width)[:, None])
-    q_b = q_points.reshape(n, n_ch * order, order * order)[sort_order][take]
+    # 2-D flat rows for the sorted-materialize + window take: on the 3-D
+    # view XLA picked an atom-MINOR layout ({0,2,1}: each atom's 216 values
+    # strided across 216 planes), which turned both gathers into strided
+    # element traffic (fusion profile: 15 + 24 ms/step at 98k/K=256, ~60%
+    # of the whole forward spread). A 2-D (n, features) array gets row-major
+    # and the same gathers move contiguous 864 B rows.
+    q_flat = q_points.reshape(n, n_ch * order * order * order)
+    q_b = q_flat[sort_order][take].reshape(-1, cap, n_ch * order, order * order)
 
     out = pl.pallas_call(
         _make_spread_kernel(order, n_ch),
@@ -496,7 +503,14 @@ def _pallas_spread2d_impl(m_u0, q_points, grid_shape, nx, ny, interpret=False,
     m_b = base[sort_order][take]
     m_b = m_b.at[..., 0].add(-((b_iota // ny) * wx)[:, None])
     m_b = m_b.at[..., 1].add(-((b_iota % ny) * wy)[:, None])
-    q_b = q_points.reshape(n, n_ch * order, order * order)[sort_order][take]
+    # 2-D flat rows for the sorted-materialize + window take: on the 3-D
+    # view XLA picked an atom-MINOR layout ({0,2,1}: each atom's 216 values
+    # strided across 216 planes), which turned both gathers into strided
+    # element traffic (fusion profile: 15 + 24 ms/step at 98k/K=256, ~60%
+    # of the whole forward spread). A 2-D (n, features) array gets row-major
+    # and the same gathers move contiguous 864 B rows.
+    q_flat = q_points.reshape(n, n_ch * order * order * order)
+    q_b = q_flat[sort_order][take].reshape(-1, cap, n_ch * order, order * order)
 
     out = pl.pallas_call(
         _make_spread_kernel(order, n_ch),
@@ -695,7 +709,10 @@ def _gather_postprocess(out, atom_ix, counts, n, n_ch, order):
     exactly n rows. Scattering the capacity-padded rows instead
     (``res.at[ids].set(rows)``) moves cap_factor-times the HBM traffic."""
     nb, cap_pad = atom_ix.shape
-    rows = out.reshape(nb * cap_pad, n_ch * order, order * order)
+    # 2-D flat rows: on a 3-D view XLA can pick an atom-minor layout that
+    # turns the row gather into strided element traffic (see the q_flat
+    # comment in the spread impls)
+    rows = out.reshape(nb * cap_pad, n_ch * order * order * order)
     slot = jnp.arange(cap_pad, dtype=jnp.int32)[None, :]
     # slots past a bucket's count alias other atoms' ids: route them to a
     # dump entry (n) so each real atom's inverse entry is written exactly once
