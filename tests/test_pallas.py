@@ -257,3 +257,66 @@ def test_second_order_differentiation_through_spread_and_gather():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(g_ref), rtol=2e-4, atol=2e-2
         )
+
+
+def test_row_gather_matches_flat_gather():
+    """Lane-aligned grids (K3 % 128 == 0) dispatch gather_blocks(_2d) to the
+    pure-XLA row-gather adjoint (full (dx, dy) mesh rows + one-hot z
+    extraction — examples/gatherrow_98k_tpu.out: 50.6 vs 86.3 ms at
+    98k/K=256). It must be bitwise-equal to the flat per-element gather,
+    single and multi channel, including the >4 GB chunked path (forced via
+    a monkeypatched threshold)."""
+    from admp_tpu.ops.pallas import spread as sp
+
+    rng = np.random.default_rng(7)
+    for n_ch, order in ((1, 6), (3, 4)):
+        grid = (16, 12, 128)
+        n = 500
+        m_u0 = jnp.asarray(
+            rng.integers(0, grid, size=(n, 3)), dtype=jnp.int32
+        )
+        g_mesh = jnp.asarray(
+            rng.standard_normal((n_ch,) + grid), dtype=jnp.float32
+        )
+        assert sp._row_gather_eligible(grid)
+        want = np.asarray(
+            sp._flat_gather(m_u0, g_mesh, grid, order)
+        ).reshape(n, n_ch, order ** 3)
+        got = sp._row_gather_impl(m_u0, g_mesh, grid, order)
+        np.testing.assert_array_equal(np.asarray(got), want)
+        # the public entry points dispatch to it on aligned grids
+        via_1d = sp.gather_blocks(m_u0, g_mesh, grid, order, 4, True)
+        via_2d = sp.gather_blocks_2d(m_u0, g_mesh, grid, order, 2, 2, True)
+        np.testing.assert_array_equal(np.asarray(via_1d), want)
+        np.testing.assert_array_equal(np.asarray(via_2d), want)
+
+
+def test_row_gather_chunked_path_matches():
+    """Force the chunked row-gather branch by shrinking the byte threshold."""
+    from unittest import mock
+
+    import jax
+
+    from admp_tpu.ops.pallas import spread as sp
+
+    rng = np.random.default_rng(8)
+    grid = (8, 8, 128)
+    n = 600
+    m_u0 = jnp.asarray(rng.integers(0, grid, size=(n, 3)), dtype=jnp.int32)
+    g_mesh = jnp.asarray(
+        rng.standard_normal((1,) + grid), dtype=jnp.float32
+    )
+    want = np.asarray(sp._row_gather_impl(m_u0, g_mesh, grid, 6))
+
+    real_map = jax.lax.map
+    calls = []
+
+    def spy_map(f, xs):
+        calls.append(1)
+        return real_map(f, xs)
+
+    with mock.patch.object(sp.jax.lax, "map", side_effect=spy_map), \
+         mock.patch.object(sp, "_ROW_GATHER_UNCHUNKED_BYTES", 1 << 10):
+        got = np.asarray(sp._row_gather_impl(m_u0, g_mesh, grid, 6))
+    assert calls, "chunked branch not taken"
+    np.testing.assert_array_equal(got, want)
