@@ -689,9 +689,25 @@ def make_ds_pme_recip(kappa, grid_shape, lmax: int,
         pot = ds.mul_f(p_re, jnp.float32(2.0))
         pot = ds.mul(pot, ds._bc(ds.from_f64(prefactor), pot))
 
-        flat = _flat_stencil(m_u0, grid_shape)
-        pw_hi = pot[0].reshape(-1)[flat]
-        pw_lo = pot[1].reshape(-1)[flat]
+        from admp_tpu.ops.pallas.spread import (
+            _row_gather_eligible,
+            _row_gather_impl,
+        )
+
+        if _row_gather_eligible(grid_shape):
+            # hi/lo as two channels of one row gather (contiguous mesh rows
+            # ride at bandwidth; per-element gathers run ~60M elem/s —
+            # examples/gatherrow_98k_tpu.out); DS grids are powers of two,
+            # so K3 >= 128 is always lane-aligned
+            both = _row_gather_impl(
+                m_u0, jnp.stack([pot[0], pot[1]]), grid_shape, 6
+            )
+            pw_hi = both[:, 0].reshape(n, 6, 6, 6)
+            pw_lo = both[:, 1].reshape(n, 6, 6, 6)
+        else:
+            flat = _flat_stencil(m_u0, grid_shape)
+            pw_hi = pot[0].reshape(-1)[flat]
+            pw_lo = pot[1].reshape(-1)[flat]
         potwin = (pw_hi, pw_lo)  # (N, 6, 6, 6)
 
         # separable partial contractions up to 3rd-derivative channels

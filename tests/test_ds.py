@@ -233,3 +233,45 @@ def test_f64_near_mode_small_system():
         pos32, box32, pairs, q32, m32)
     assert rmse(f_ds) < rmse(f_plain) / 10
     assert rmse(f_ds) < 2e-6
+
+
+def test_ds_adjoint_row_gather_matches_flat():
+    """On lane-aligned grids (K3 % 128 == 0) the DS adjoint's potential-window
+    extraction takes the row-gather path (ops/pallas/spread._row_gather_impl);
+    it must reproduce the flat per-element gather branch bitwise (forces are
+    identical, not merely close)."""
+    from unittest import mock
+
+    from admp_tpu import ADMPPmeForce, EngineConfig, convert_cart2harm
+    from admp_tpu.ops.pallas import spread as sp
+    from admp_tpu.systems import water_system
+
+    s = water_system(n_side=2, spacing=3.1, jitter=0.1, seed=3)
+    n = s["positions"].shape[0]
+    pairs = [[i, j] for i in range(n) for j in range(i + 1, n)]
+    cap = -(-len(pairs) // 128) * 128
+    pairs += [[n, n]] * (cap - len(pairs))
+    pairs = jnp.asarray(pairs, jnp.int32)
+    pos32 = jnp.asarray(np.asarray(s["positions"], np.float32))
+    box32 = jnp.asarray(np.asarray(s["box"], np.float32))
+    q32 = jnp.asarray(np.asarray(
+        convert_cart2harm(jnp.asarray(s["q_cart"]), 2), np.float32))
+    m32 = jnp.asarray(np.array([0., 0., 0., 1., 1.], np.float32))
+
+    def forces():
+        f = ADMPPmeForce(box32, s["axis_types"], s["axis_indices"],
+                         s["covalent_map"], 3.0, 1e-3, lmax=2,
+                         config=EngineConfig.ds_accuracy())
+        f.kappa = 0.7
+        f.K1 = f.K2 = 8
+        f.K3 = 128
+        f.refresh_calculators()
+        return np.asarray(
+            f.get_forces(pos32, box32, pairs, q32, m32)[1]
+        )
+
+    assert sp._row_gather_eligible((8, 8, 128))
+    f_rows = forces()
+    with mock.patch.object(sp, "_row_gather_eligible", lambda g: False):
+        f_flat = forces()
+    np.testing.assert_array_equal(f_rows, f_flat)
