@@ -41,6 +41,20 @@ from admp_tpu.utils.accmath import compensated_sum, masked_compensated_sum
 from admp_tpu.utils.constants import DIELECTRIC
 
 
+def _use_pair_kernel(pair_kernel: str, dtype, lpol: bool) -> bool:
+    """Eligibility of the fused Pallas pair kernel (ops/pallas/pairs.py):
+    f32 permanent-only passes; 'auto' engages it on TPU only."""
+    if pair_kernel == "xla" or lpol or dtype != jnp.float32:
+        return False
+    if pair_kernel not in ("auto", "pallas", "interpret"):
+        raise ValueError(f"unknown pair_kernel {pair_kernel!r}")
+    from admp_tpu.ops.pallas.pairs import pallas_pairs_available
+
+    if not pallas_pairs_available():
+        return False
+    return pair_kernel != "auto" or jax.default_backend() == "tpu"
+
+
 def pme_real_energy(
     positions,
     box,
@@ -58,6 +72,7 @@ def pme_real_energy(
     pair_chunk: int | None = None,
     exclude_topological: bool = False,
     compensated: bool = False,
+    pair_kernel: str = "auto",
 ):
     """Real-space multipolar Ewald energy over a padded pair list.
 
@@ -88,7 +103,7 @@ def pme_real_energy(
             lambda blk: pme_real_energy(
                 positions, box, blk, q_global, u_ind_harm, pol, tholes,
                 m_scales, p_scales, covalent_map, kappa, lmax, lpol,
-                None, exclude_topological, compensated,
+                None, exclude_topological, compensated, pair_kernel,
             ),
             blocks,
         )
@@ -99,14 +114,6 @@ def pme_real_energy(
     i = jnp.minimum(raw_i, n - 1)
     j = jnp.minimum(raw_j, n - 1)
 
-    # component (SoA) pipeline: every per-pair intermediate is a flat (C,)
-    # vector — the (C, 3, 3)/(C, 9) AoS forms tile-pad up to ~40x on TPU and
-    # were the dominant real-space cost (ROADMAP round-2 continuation)
-    r, qi_i, qi_j, ui, uj = realspace.qi_pair_components(
-        positions, box, q_global, i, j, mask, lmax,
-        u_ind_harm if lpol else None,
-    )
-
     from admp_tpu.ops.exclusions import (
         lookup_topology_distance,
         scale_for_distance,
@@ -116,6 +123,34 @@ def pme_real_energy(
     mscale = scale_for_distance(m_scales, nbond)
     if exclude_topological:
         mask = mask & (nbond == 0)
+
+    if _use_pair_kernel(pair_kernel, positions.dtype, lpol):
+        # fused Pallas pair pass: QI frame + rotations + coefficients +
+        # contraction in one VMEM-resident program, in-kernel vjp backward
+        # (ops/pallas/pairs.py — the XLA SoA pipeline below measures ~6x
+        # the necessary cost at 1.6M pairs from fusion/materialization,
+        # examples/realsplit2_98k_tpu.out); gathers/wrap/lookup stay in XLA
+        # so gather transposes and box gradients are XLA-native
+        from admp_tpu.ops.pallas.pairs import pair_perm_energies
+
+        xd, aux = realspace.pair_rows_inputs(
+            positions, box, q_global, i, j, mask, mscale, lmax
+        )
+        e = pair_perm_energies(
+            xd, aux, jnp.asarray(kappa, positions.dtype), lmax,
+            interpret=(pair_kernel == "interpret"),
+        )
+        if compensated:
+            return compensated_sum(e)
+        return jnp.sum(e)
+
+    # component (SoA) pipeline: every per-pair intermediate is a flat (C,)
+    # vector — the (C, 3, 3)/(C, 9) AoS forms tile-pad up to ~40x on TPU and
+    # were the dominant real-space cost (ROADMAP round-2 continuation)
+    r, qi_i, qi_j, ui, uj = realspace.qi_pair_components(
+        positions, box, q_global, i, j, mask, lmax,
+        u_ind_harm if lpol else None,
+    )
 
     coef = realspace.perm_coefficients(r, mscale, kappa, lmax)
     e = realspace.pair_energy_perm(qi_i, qi_j, coef, lmax)
@@ -372,6 +407,7 @@ def energy_pme(
             pair_chunk,
             exclude_topological=excl64,
             compensated=compensated,
+            pair_kernel=config.pair_kernel,
         )
     if excl64:
         e_excl = pme_real_energy(
@@ -441,6 +477,7 @@ def energy_pme(
                 lpol,
                 None,
                 compensated=False,
+                pair_kernel=config.pair_kernel,
             )
 
         delta = near_pass(f64) - near_pass(work_dtype).astype(f64)

@@ -174,7 +174,44 @@ def qi_pair_components(positions, box, q_comps, i, j, mask, lmax: int,
     return r, qi_i, qi_j, ui, uj
 
 
-def ewald_screening_s(kr, x, mscale):
+def pair_rows_inputs(positions, box, q_comps, i, j, mask, mscale, lmax: int):
+    """Row-stacked inputs for the fused Pallas pair kernel
+    (ops/pallas/pairs.pair_rows_energy): one packed row gather per side (the
+    same access pattern as qi_pair_components), the differentiable PBC wrap,
+    and the degeneracy indicator — everything whose cotangents must flow
+    through XLA (gather transposes, box gradients) stays out here.
+
+    Returns (xd, aux): xd (3+2H+1, C) = [dx, dy, dz, q_i, q_j, mscale];
+    aux (2, C) = [mask, degenerate] as 0/1 rows.
+    """
+    n_h = (lmax + 1) ** 2
+    packed = jnp.concatenate([positions, q_comps[:, :n_h]], axis=1)
+    g_i, g_j = packed[i], packed[j]
+    dx, dy, dz, _, _ = _displacement_from_rows(
+        g_i[:, :3], g_j[:, :3], box, mask
+    )
+    degenerate = jnp.logical_and(
+        g_i[:, 1] == g_j[:, 1], g_i[:, 2] == g_j[:, 2]
+    )
+    xd = jnp.concatenate(
+        [
+            jnp.stack([dx, dy, dz]),
+            g_i[:, 3:].T,
+            g_j[:, 3:].T,
+            mscale[None].astype(positions.dtype),
+        ],
+        axis=0,
+    )
+    aux = jnp.stack(
+        [
+            mask.astype(positions.dtype),
+            degenerate.astype(positions.dtype),
+        ]
+    )
+    return xd, aux
+
+
+def ewald_screening_s(kr, x, mscale, erfc_fn=erfc):
     """Cancellation-free screening sums s_l = mscale + b_l + [l==2] kr x.
 
     The reference builds b_l = -erf(kr) + sum 2^m (kr)^(2m-1) x / (2m-1)!!
@@ -196,7 +233,7 @@ def ewald_screening_s(kr, x, mscale):
     kr3 = kr2 * kr
     kr5 = kr3 * kr2
     ms1 = mscale - 1.0
-    s2 = ms1 + erfc(kr)
+    s2 = ms1 + erfc_fn(kr)
     s2x = s2 + kr * x
     s3 = s2x + (2.0 / 3.0) * kr3 * x
     s4 = s3 + (4.0 / 15.0) * kr5 * x
@@ -213,18 +250,28 @@ def perm_coefficients(r, mscale, kappa, lmax: int):
     s3 = mscale+b3, s4 = mscale+b4, and dd_m1's mscale+b3-(2/3)kr^3 x = s2x,
     qq_m2's mscale+b4-(4/15)kr^5 x = s3).
     """
+    kr = kappa * r
+    x = 2.0 * exp_accurate(-(kr * kr)) / SQRT_PI
+    return perm_coefficients_from_screening(r, kr, x, mscale, lmax)
+
+
+def perm_coefficients_from_screening(r, kr, x, mscale, lmax: int,
+                                     erfc_fn=erfc):
+    """perm_coefficients given the precomputed screening pieces kr = kappa r
+    and x = (2/sqrt(pi)) exp(-kr^2) — split out so the fused Pallas pair
+    kernel (ops/pallas/pairs.py) can supply its Mosaic-lowerable gaussian
+    and erfc while sharing every coefficient expression with this XLA
+    path."""
     r_inv = 1.0 / r
     d1 = DIELECTRIC * r_inv
     d2 = d1 * r_inv
     d3 = d2 * r_inv
     d4 = d3 * r_inv
     d5 = d4 * r_inv
-    kr = kappa * r
     kr2 = kr * kr
     kr3 = kr2 * kr
     kr5 = kr3 * kr2
-    x = 2.0 * exp_accurate(-kr2) / SQRT_PI
-    s2, s2x, s3, s4 = ewald_screening_s(kr, x, mscale)
+    s2, s2x, s3, s4 = ewald_screening_s(kr, x, mscale, erfc_fn)
 
     out = {"cc": d1 * s2}
     if lmax >= 1:

@@ -167,6 +167,13 @@ class EngineConfig:
         examples/electro_tuning_tpu.out / ROADMAP.md).
       spread_precision: None or 'f64' — evaluate the B-spline weight pipeline
         in float64 (requires jax_enable_x64; elementwise-emulated on TPU).
+    Real-space pair pass:
+      pair_kernel: 'auto' (default: the fused Pallas pair kernel —
+        QI frame + rotations + screened coefficients + contraction in ONE
+        VMEM-resident program with in-kernel vjp backward
+        (ops/pallas/pairs.py) — on TPU for f32 non-polarizable passes; the
+        XLA SoA pipeline everywhere else), 'pallas' (force it),
+        'interpret' (Pallas interpreter, for CPU tests), 'xla' (disable).
     Precision (north star: f32 force RMSE < 1e-6 vs f64, BASELINE.md):
       realspace_precision: None, 'f64', 'f64-near', or 'f64-all'.
         'f64': evaluate the topological-exclusion pairs (the large-magnitude
@@ -213,6 +220,7 @@ class EngineConfig:
     """
 
     fft_friendly_grid: bool = False
+    pair_kernel: str = "auto"
     spread_method: str = "auto"
     spread_order: int = 6
     spread_precision: str | None = None
