@@ -125,19 +125,37 @@ def pme_real_energy(
         mask = mask & (nbond == 0)
 
     if _use_pair_kernel(pair_kernel, positions.dtype, lpol):
-        # fused Pallas pair pass: QI frame + rotations + coefficients +
-        # contraction in one VMEM-resident program, in-kernel vjp backward
-        # (ops/pallas/pairs.py — the XLA SoA pipeline below measures ~6x
-        # the necessary cost at 1.6M pairs from fusion/materialization,
-        # examples/realsplit2_98k_tpu.out); gathers/wrap/lookup stay in XLA
-        # so gather transposes and box gradients are XLA-native
-        from admp_tpu.ops.pallas.pairs import pair_perm_energies
-
-        xd, aux = realspace.pair_rows_inputs(
-            positions, box, q_global, i, j, mask, mscale, lmax
+        # fused Pallas pair pass: block transpose + PBC wrap + QI frame +
+        # rotations + coefficients + contraction in one VMEM-resident
+        # program, in-kernel vjp backward (ops/pallas/pairs.py). Only the
+        # row gathers and the exclusion lookup stay in XLA: a gather whose
+        # rows feed column slices/wrap math lowers ~5x slower than one
+        # consumed whole (examples/realsplit2_98k_tpu.out), so the gathered
+        # tables go to the kernel untouched and box gradients (virial) flow
+        # through SMEM-scalar cotangents accumulated per program.
+        from admp_tpu.ops.pallas.pairs import (
+            pair_perm_energies,
+            table_width,
         )
+
+        dtype = positions.dtype
+        packed = jnp.concatenate(
+            [positions, q_global[:, : (lmax + 1) ** 2]], axis=1
+        )
+        g_i, g_j = packed[i], packed[j]
+        scl = jnp.stack(
+            [mscale.astype(dtype), mask.astype(dtype)]
+        )
+        scal = jnp.concatenate(
+            [
+                jnp.asarray(kappa, dtype).reshape(1),
+                box.astype(dtype).reshape(9),
+                inv3x3(box.astype(dtype)).reshape(9),
+            ]
+        )
+        assert g_i.shape[1] == table_width(lmax)
         e = pair_perm_energies(
-            xd, aux, jnp.asarray(kappa, positions.dtype), lmax,
+            g_i, g_j, scl, scal, lmax,
             interpret=(pair_kernel == "interpret"),
         )
         if compensated:

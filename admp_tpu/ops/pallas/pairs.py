@@ -1,34 +1,41 @@
 """Fused Pallas TPU kernel for the real-space pair pass (permanent terms).
 
 Why: the pure-XLA SoA pair pipeline at 98k atoms / 1.6M pairs measures
-~113 ms e+g while the packed gathers + their scatter transpose alone are
-~19 ms and the arithmetic is < 1 GFLOP (examples/realsplit_98k_tpu.out,
-realsplit2_98k_tpu.out) — the cost is XLA fusion/materialization of dozens
-of (C,)-shaped intermediates in the forward AND the transposed backward, not
-flops or the necessary HBM traffic (the bisect is non-monotonic: adding the
-rotations measured FASTER than displacement-only). Fusing the whole per-pair
-computation — QI frame, harmonic rotations, screened coefficients, bilinear
-contraction (reference: admp/spatial.py:149-178 + admp/multipole.py:92-179 +
-admp/pme.py:258-334,479-624) — into ONE Pallas program keeps every
-intermediate in VMEM.
+~113 ms e+g while the arithmetic is < 1 GFLOP; the bisects
+(examples/realsplit_98k_tpu.out, realsplit2_98k_tpu.out) show the cost is
+neither flops nor unavoidable HBM bytes but how XLA lowers the graph around
+the pair gathers: a gather whose rows are consumed WHOLE times at ~19 ms
+e+g (incl. the ~10.7 ms remote-dispatch floor), while the same gather
+feeding column slices + the PBC wrap times at ~92 ms. The kernel therefore
+takes the two gathered per-pair row tables as-is — the only XLA-visible
+consumers are whole-array Pallas operands — and does EVERYTHING else
+in VMEM: the block transpose to pair-on-lanes layout, the minimum-image
+wrap, the degeneracy test, the QI frame, both harmonic rotations, the
+screened coefficients, and the bilinear contraction (reference:
+admp/spatial.py:149-178 + admp/multipole.py:92-179 + admp/pme.py:258-334,
+479-624).
 
 Design notes:
-- Inputs ride TRANSPOSED, (rows, C): pair index on the lane axis (full VPU
-  width per op); a (C, 24) layout would tile-pad the minor dim to 128 lanes
-  (~5x bytes) and put per-pair quantities on the sublane axis.
-- The gathers, the PBC wrap, and the exclusion lookup stay OUTSIDE in XLA:
-  position/box/multipole cotangents then flow through XLA's own gather
-  transpose, and the box gradient (virial) needs the wrap to be
-  differentiable end-to-end.
-- The backward kernel does NOT hand-differentiate anything: it calls
-  jax.vjp on the same row function INSIDE the kernel body (trace-time
-  autodiff of elementwise math lowers like any other Mosaic program), so the
-  adjoint also lives entirely in VMEM. kappa's cotangent is accumulated
-  per-program and reduced outside — no silently-zero gradients.
-- Math is shared with the XLA path via ops/realspace (perm_coefficients,
-  pair_energy_perm) and ops/harmonics (rotate_harm_components): one source
-  of truth for the physics; only exp() is swapped for an exp2-based
-  formulation (jnp.ldexp does not lower in Mosaic).
+- Per-pair quantities ride the LANE axis inside the kernel ((1, BC) rows);
+  the gathered tables arrive (BC, F) and are transposed in VMEM
+  (jnp.transpose lowers in Mosaic; measured kernel-on-prebuilt-inputs cost
+  at 1.6M pairs is ~5 fwd / ~8 e+g ms over the dispatch floor).
+- Only the two row gathers and the exclusion lookup stay in XLA, so the
+  gather transposes (row scatter-adds) stay on XLA's fast whole-row path.
+- box and kappa enter as SMEM scalars; the backward kernel accumulates
+  their cotangents per program into an SMEM row that is reduced outside —
+  box gradients (virial) are exact, nothing is silently zero. The box
+  inverse is taken OUTSIDE (utils/linalg3.inv3x3) and passed as nine more
+  scalars, so its chain rule runs in XLA where f64 virial modes can reuse
+  it.
+- The backward kernel does not hand-differentiate anything: it calls
+  jax.vjp on the same block function INSIDE the kernel body, so the adjoint
+  also never materializes per-pair intermediates in HBM.
+- Math is shared with the XLA path via ops/realspace
+  (perm_coefficients_from_screening, pair_energy_perm) and ops/harmonics
+  (rotate_harm_components); the gaussian and erfc are Mosaic-lowerable
+  reformulations (exp2 scaling — jnp.ldexp does not lower; Cody rational —
+  jax.scipy.special.erfc does not lower), each ~1e-7 relative.
 """
 
 from __future__ import annotations
@@ -56,6 +63,8 @@ _I0 = np.int32(0)
 _INV_LN2 = 1.4426950408889634
 _LN2_HI = 0.693359375
 _LN2_LO = -2.12194440e-4
+
+_N_SCAL = 19  # kappa + box (9) + box^-1 (9)
 
 
 def pallas_pairs_available() -> bool:
@@ -129,43 +138,55 @@ def _erfc_rows(y):
     return jnp.where(y < 0.46875, r1, jnp.where(big, erfc3, r2))
 
 
-def n_diff_rows(lmax: int) -> int:
-    """dx, dy, dz + q_i + q_j + mscale."""
-    return 4 + 2 * (lmax + 1) ** 2
+def table_width(lmax: int) -> int:
+    """Columns of the packed per-atom table: positions + harmonics."""
+    return 3 + (lmax + 1) ** 2
 
 
-def _rows_pad(lmax: int) -> int:
-    return -(-n_diff_rows(lmax) // 8) * 8
+def _block_energy(gi_t, gj_t, scl, scal, lmax: int):
+    """Per-pair permanent energy from TRANSPOSED table blocks — the single
+    block function the forward kernel, the in-kernel vjp, and the CPU/XLA
+    cross-checks all trace.
 
-
-def pair_rows_energy(xd, aux, kappa, lmax: int):
-    """Per-pair permanent energy from row-stacked inputs — the single source
-    the forward kernel, the in-kernel vjp, and the CPU/XLA cross-checks all
-    trace.
-
-    xd:  (>=n_diff_rows, C) f32 — [dx, dy, dz, q_i(H), q_j(H), mscale]
-         (dx/dy/dz already minimum-image wrapped).
-    aux: (2, C) f32 — [mask, degenerate] as 0/1 indicators.
-    kappa: scalar.
-    Returns (1, C) masked pair energies.
+    gi_t/gj_t: (F, BC) transposed gathered rows [x, y, z, q_harm...].
+    scl: (>=2, BC) — row 0 mscale, row 1 mask (0/1).
+    scal: tuple of _N_SCAL scalars — kappa, box.reshape(9),
+    inv3x3(box).reshape(9) (a tuple, not an array: SMEM only supports
+    scalar loads, and tuple inputs keep jax.grad per-scalar in the bwd
+    kernel).
+    Returns (1, BC) masked pair energies.
     """
     n_h = (lmax + 1) ** 2
-    dx = xd[0:1]
-    dy = xd[1:2]
-    dz = xd[2:3]
-    q_i = tuple(xd[3 + k:4 + k] for k in range(n_h))
-    q_j = tuple(xd[3 + n_h + k:4 + n_h + k] for k in range(n_h))
-    mscale = xd[3 + 2 * n_h:4 + 2 * n_h]
-    mask = aux[0:1] > 0.5
-    degenerate = aux[1:2] > 0.5
+    mscale = scl[0:1]
+    mask = scl[1:2] > 0.5
+    kappa = scal[0]
+    box = scal[1:10]
+    binv = scal[10:19]
 
+    # minimum-image wrap — same math as realspace._displacement_from_rows,
+    # box/binv as scalars
+    dx = gi_t[0:1] - gj_t[0:1]
+    dy = gi_t[1:2] - gj_t[1:2]
+    dz = gi_t[2:3] - gj_t[2:3]
+    sa = dx * binv[0] + dy * binv[3] + dz * binv[6]
+    sb = dx * binv[1] + dy * binv[4] + dz * binv[7]
+    sc = dx * binv[2] + dy * binv[5] + dz * binv[8]
+    sa = sa - jnp.floor(sa + 0.5)
+    sb = sb - jnp.floor(sb + 0.5)
+    sc = sc - jnp.floor(sc + 0.5)
+    dx = sa * box[0] + sb * box[3] + sc * box[6]
+    dy = sa * box[1] + sb * box[4] + sc * box[7]
+    dz = sa * box[2] + sb * box[5] + sc * box[8]
     sq = dx * dx + dy * dy + dz * dz
     sq_safe = jnp.where(mask, sq, jnp.ones_like(sq))
     r = jnp.where(mask, jnp.sqrt(sq_safe), jnp.ones_like(sq))
     rinv = 1.0 / r
 
-    # quasi-internal frame (same math as ops/realspace.qi_pair_components;
-    # the degeneracy indicator is precomputed outside from raw coordinates)
+    # quasi-internal frame (same math as ops/realspace.qi_pair_components);
+    # the degeneracy seed uses RAW y/z coordinates, as there
+    degenerate = jnp.logical_and(
+        gi_t[1:2] == gj_t[1:2], gi_t[2:3] == gj_t[2:3]
+    )
     fzx, fzy, fzz = dx * rinv, dy * rinv, dz * rinv
     one = jnp.ones_like(r)
     seedx = jnp.where(degenerate, 0.0 * one, one)
@@ -188,11 +209,11 @@ def pair_rows_energy(xd, aux, kappa, lmax: int):
     fyz = fzx * fxy - fzy * fxx
     frame = (fxx, fxy, fxz, fyx, fyy, fyz, fzx, fzy, fzz)
 
+    q_i = tuple(gi_t[3 + k:4 + k] for k in range(n_h))
+    q_j = tuple(gj_t[3 + k:4 + k] for k in range(n_h))
     qi_i = rotate_harm_components(q_i, frame, lmax)
     qi_j = rotate_harm_components(q_j, frame, lmax)
 
-    # screened coefficients: realspace.perm_coefficients with the gaussian
-    # evaluated by the exp2 form (see _exp_rows)
     kr = kappa * r
     x = 2.0 * _exp_rows(-(kr * kr)) / SQRT_PI
     coef = realspace.perm_coefficients_from_screening(
@@ -202,117 +223,158 @@ def pair_rows_energy(xd, aux, kappa, lmax: int):
     return jnp.where(mask, e, jnp.zeros_like(e))
 
 
-def _make_fwd_kernel(lmax: int):
-    def kernel(kappa_ref, xd_ref, aux_ref, e_ref):
-        e_ref[...] = pair_rows_energy(
-            xd_ref[...], aux_ref[...], kappa_ref[0], lmax
+def _make_fwd_kernel(lmax: int, f_cols: int):
+    def kernel(scal_ref, gi_ref, gj_ref, scl_ref, e_ref):
+        gi_t = jnp.transpose(gi_ref[...])[:f_cols]
+        gj_t = jnp.transpose(gj_ref[...])[:f_cols]
+        scal = tuple(scal_ref[k] for k in range(_N_SCAL))
+        e_ref[...] = _block_energy(
+            gi_t, gj_t, scl_ref[...], scal, lmax
         )
 
     return kernel
 
 
-def _make_bwd_kernel(lmax: int):
-    def kernel(kappa_ref, xd_ref, aux_ref, ct_ref, gx_ref, gk_ref):
-        xd = xd_ref[...]
-        aux = aux_ref[...]
+def _make_bwd_kernel(lmax: int, f_cols: int):
+    def kernel(scal_ref, gi_ref, gj_ref, scl_ref, ct_ref,
+               dgi_ref, dgj_ref, dscl_ref, dscal_ref):
         ct = ct_ref[...]
 
-        def f(x, kap):
-            return jnp.sum(pair_rows_energy(x, aux, kap, lmax) * ct)
+        def f(gi_blk, gj_blk, scl, scal):
+            gi_t = jnp.transpose(gi_blk)[:f_cols]
+            gj_t = jnp.transpose(gj_blk)[:f_cols]
+            return jnp.sum(_block_energy(gi_t, gj_t, scl, scal, lmax) * ct)
 
-        gx, gk = jax.grad(f, argnums=(0, 1))(xd, kappa_ref[0])
-        gx_ref[...] = gx
+        scal = tuple(scal_ref[k] for k in range(_N_SCAL))
+        dgi, dgj, dscl, dscal = jax.grad(f, argnums=(0, 1, 2, 3))(
+            gi_ref[...], gj_ref[...], scl_ref[...], scal
+        )
+        dgi_ref[...] = dgi
+        dgj_ref[...] = dgj
+        dscl_ref[...] = dscl
         # whole-array SMEM output: each program owns its row
-        gk_ref[pl.program_id(0), 0] = gk
+        p = pl.program_id(0)
+        for k in range(_N_SCAL):
+            dscal_ref[p, k] = dscal[k]
 
     return kernel
 
 
-def _pad_pairs(x, block):
-    c = x.shape[1]
-    pad = (-c) % block
+def _pad_lanes(x, block):
+    c = x.shape[-1] if x.ndim == 1 else x.shape[0]
+    if x.ndim == 2:  # (C, F) tables: pad the PAIR axis (rows)
+        pad = (-x.shape[0]) % block
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+        return x
+    raise AssertionError
+
+
+def _pad_scl(scl, block):
+    pad = (-scl.shape[1]) % block
     if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad)))
-    return x
+        scl = jnp.pad(scl, ((0, 0), (0, pad)))
+    if scl.shape[0] < 8:
+        scl = jnp.pad(scl, ((0, 8 - scl.shape[0]), (0, 0)))
+    return scl
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5)
-)
-def pair_perm_energies(xd, aux, kappa, lmax, block=2048, interpret=False):
-    """Per-pair permanent real-space energies via the fused Pallas kernel.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def pair_perm_energies(g_i, g_j, scl, scal, lmax, block=1024,
+                       interpret=False):
+    """Per-pair permanent real-space energies via the fused pair kernel.
 
-    xd (D, C) row-stacked differentiable inputs, aux (2, C) indicators
-    (see pair_rows_energy). Returns (C,) masked per-pair energies —
-    identical math to the XLA path (tests pin both to ~1 ulp)."""
-    d_pad = _rows_pad(lmax)
-    xd_p = _pad_pairs(jnp.pad(xd, ((0, d_pad - xd.shape[0]), (0, 0))), block)
-    aux_p = _pad_pairs(aux, block)
-    c_pad = xd_p.shape[1]
+    g_i/g_j: (C, F) gathered per-pair rows of the packed atom table
+    [x, y, z, q_harm...] (F = table_width(lmax)); scl: (2, C) [mscale,
+    mask]; scal: (_N_SCAL,) [kappa, box(9), inv3x3(box)(9)]. Returns (C,)
+    masked per-pair energies — identical physics to the XLA path
+    (tests/test_pairs_kernel.py pins energies and every gradient)."""
+    c = g_i.shape[0]
+    f_cols = g_i.shape[1]
+    gi_p = _pad_lanes(g_i, block)
+    gj_p = _pad_lanes(g_j, block)
+    scl_p = _pad_scl(scl, block)
+    c_pad = gi_p.shape[0]
     n_prog = c_pad // block
-    kap = jnp.reshape(kappa.astype(xd.dtype), (1,))
+    scal_p = jnp.pad(scal.astype(g_i.dtype), (0, (-_N_SCAL) % 8))
 
     e = pl.pallas_call(
-        _make_fwd_kernel(lmax),
+        _make_fwd_kernel(lmax, f_cols),
         grid=(n_prog,),
         in_specs=[
-            pl.BlockSpec((1,), lambda p: (_I0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((d_pad, block), lambda p: (_I0, p),
+            pl.BlockSpec((scal_p.shape[0],), lambda p: (_I0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, f_cols), lambda p: (p, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, block), lambda p: (_I0, p),
+            pl.BlockSpec((block, f_cols), lambda p: (p, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda p: (_I0, p),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block), lambda p: (_I0, p),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, c_pad), xd.dtype),
+        out_shape=jax.ShapeDtypeStruct((1, c_pad), g_i.dtype),
         interpret=interpret,
-    )(kap, xd_p, aux_p)
-    return e[0, : xd.shape[1]]
+    )(scal_p, gi_p, gj_p, scl_p)
+    return e[0, :c]
 
 
-def _pair_perm_fwd(xd, aux, kappa, lmax, block=2048, interpret=False):
-    e = pair_perm_energies(xd, aux, kappa, lmax, block, interpret)
-    return e, (xd, aux, kappa)
+def _pair_perm_fwd(g_i, g_j, scl, scal, lmax, block=1024, interpret=False):
+    e = pair_perm_energies(g_i, g_j, scl, scal, lmax, block, interpret)
+    return e, (g_i, g_j, scl, scal)
 
 
 def _pair_perm_bwd(lmax, block, interpret, res, ct):
-    xd, aux, kappa = res
-    d_rows = n_diff_rows(lmax)
-    d_pad = _rows_pad(lmax)
-    xd_p = _pad_pairs(jnp.pad(xd, ((0, d_pad - xd.shape[0]), (0, 0))), block)
-    aux_p = _pad_pairs(aux, block)
-    ct_p = _pad_pairs(ct[None], block)
-    c_pad = xd_p.shape[1]
+    g_i, g_j, scl, scal = res
+    c = g_i.shape[0]
+    f_cols = g_i.shape[1]
+    gi_p = _pad_lanes(g_i, block)
+    gj_p = _pad_lanes(g_j, block)
+    scl_p = _pad_scl(scl, block)
+    ct_p = jnp.pad(ct[None], ((0, 0), (0, (-c) % block)))
+    c_pad = gi_p.shape[0]
     n_prog = c_pad // block
-    kap = jnp.reshape(kappa.astype(xd.dtype), (1,))
+    scal_p = jnp.pad(scal.astype(g_i.dtype), (0, (-_N_SCAL) % 8))
 
-    gx, gk = pl.pallas_call(
-        _make_bwd_kernel(lmax),
+    dgi, dgj, dscl, dscal = pl.pallas_call(
+        _make_bwd_kernel(lmax, f_cols),
         grid=(n_prog,),
         in_specs=[
-            pl.BlockSpec((1,), lambda p: (_I0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((d_pad, block), lambda p: (_I0, p),
+            pl.BlockSpec((scal_p.shape[0],), lambda p: (_I0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, f_cols), lambda p: (p, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, block), lambda p: (_I0, p),
+            pl.BlockSpec((block, f_cols), lambda p: (p, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda p: (_I0, p),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block), lambda p: (_I0, p),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((d_pad, block), lambda p: (_I0, p),
+            pl.BlockSpec((block, f_cols), lambda p: (p, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_prog, 1), lambda p: (_I0, _I0),
+            pl.BlockSpec((block, f_cols), lambda p: (p, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda p: (_I0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_prog, _N_SCAL), lambda p: (_I0, _I0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((d_pad, c_pad), xd.dtype),
-            jax.ShapeDtypeStruct((n_prog, 1), xd.dtype),
+            jax.ShapeDtypeStruct((c_pad, f_cols), g_i.dtype),
+            jax.ShapeDtypeStruct((c_pad, f_cols), g_i.dtype),
+            jax.ShapeDtypeStruct((8, c_pad), g_i.dtype),
+            jax.ShapeDtypeStruct((n_prog, _N_SCAL), g_i.dtype),
         ],
         interpret=interpret,
-    )(kap, xd_p, aux_p, ct_p)
-    g_xd = gx[: xd.shape[0], : xd.shape[1]]
-    g_kappa = jnp.sum(gk).astype(kappa.dtype).reshape(jnp.shape(kappa))
-    return g_xd, jnp.zeros_like(aux), g_kappa
+    )(scal_p, gi_p, gj_p, scl_p, ct_p)
+    return (
+        dgi[:c],
+        dgj[:c],
+        dscl[: scl.shape[0], :c],
+        jnp.sum(dscal, axis=0).astype(scal.dtype),
+    )
 
 
 pair_perm_energies.defvjp(_pair_perm_fwd, _pair_perm_bwd)

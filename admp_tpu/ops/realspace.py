@@ -174,43 +174,6 @@ def qi_pair_components(positions, box, q_comps, i, j, mask, lmax: int,
     return r, qi_i, qi_j, ui, uj
 
 
-def pair_rows_inputs(positions, box, q_comps, i, j, mask, mscale, lmax: int):
-    """Row-stacked inputs for the fused Pallas pair kernel
-    (ops/pallas/pairs.pair_rows_energy): one packed row gather per side (the
-    same access pattern as qi_pair_components), the differentiable PBC wrap,
-    and the degeneracy indicator — everything whose cotangents must flow
-    through XLA (gather transposes, box gradients) stays out here.
-
-    Returns (xd, aux): xd (3+2H+1, C) = [dx, dy, dz, q_i, q_j, mscale];
-    aux (2, C) = [mask, degenerate] as 0/1 rows.
-    """
-    n_h = (lmax + 1) ** 2
-    packed = jnp.concatenate([positions, q_comps[:, :n_h]], axis=1)
-    g_i, g_j = packed[i], packed[j]
-    dx, dy, dz, _, _ = _displacement_from_rows(
-        g_i[:, :3], g_j[:, :3], box, mask
-    )
-    degenerate = jnp.logical_and(
-        g_i[:, 1] == g_j[:, 1], g_i[:, 2] == g_j[:, 2]
-    )
-    xd = jnp.concatenate(
-        [
-            jnp.stack([dx, dy, dz]),
-            g_i[:, 3:].T,
-            g_j[:, 3:].T,
-            mscale[None].astype(positions.dtype),
-        ],
-        axis=0,
-    )
-    aux = jnp.stack(
-        [
-            mask.astype(positions.dtype),
-            degenerate.astype(positions.dtype),
-        ]
-    )
-    return xd, aux
-
-
 def ewald_screening_s(kr, x, mscale, erfc_fn=erfc):
     """Cancellation-free screening sums s_l = mscale + b_l + [l==2] kr x.
 
