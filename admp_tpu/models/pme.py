@@ -41,10 +41,13 @@ from admp_tpu.utils.accmath import compensated_sum, masked_compensated_sum
 from admp_tpu.utils.constants import DIELECTRIC
 
 
-def _use_pair_kernel(pair_kernel: str, dtype, lpol: bool) -> bool:
+def _use_pair_kernel(pair_kernel: str, dtype) -> bool:
     """Eligibility of the fused Pallas pair kernel (ops/pallas/pairs.py):
-    f32 permanent-only passes; 'auto' engages it on TPU only."""
-    if pair_kernel == "xla" or lpol or dtype != jnp.float32:
+    f32 passes; 'auto' engages it on TPU only. The kernel is first-order
+    differentiable — functions the implicit-SCF exact adjoint re-
+    differentiates (the solver's field_fn) must pass pair_kernel='xla'
+    (_build_polarizable does)."""
+    if pair_kernel == "xla" or dtype != jnp.float32:
         return False
     if pair_kernel not in ("auto", "pallas", "interpret"):
         raise ValueError(f"unknown pair_kernel {pair_kernel!r}")
@@ -124,7 +127,13 @@ def pme_real_energy(
     if exclude_topological:
         mask = mask & (nbond == 0)
 
-    if _use_pair_kernel(pair_kernel, positions.dtype, lpol):
+    lpol_kernel_ok = not lpol or (
+        u_ind_harm is not None
+        and u_ind_harm.dtype == positions.dtype
+        and pol is not None
+        and tholes is not None
+    )
+    if lpol_kernel_ok and _use_pair_kernel(pair_kernel, positions.dtype):
         # fused Pallas pair pass: block transpose + PBC wrap + QI frame +
         # rotations + coefficients + contraction in one VMEM-resident
         # program, in-kernel vjp backward (ops/pallas/pairs.py). Only the
@@ -139,13 +148,20 @@ def pme_real_energy(
         )
 
         dtype = positions.dtype
-        packed = jnp.concatenate(
-            [positions, q_global[:, : (lmax + 1) ** 2]], axis=1
-        )
+        cols = [positions, q_global[:, : (lmax + 1) ** 2]]
+        scl_rows = [mscale.astype(dtype), mask.astype(dtype)]
+        if lpol:
+            cols += [
+                u_ind_harm,
+                pol.astype(dtype)[:, None],
+                tholes.astype(dtype)[:, None],
+            ]
+            scl_rows.append(
+                scale_for_distance(p_scales, nbond).astype(dtype)
+            )
+        packed = jnp.concatenate(cols, axis=1)
         g_i, g_j = packed[i], packed[j]
-        scl = jnp.stack(
-            [mscale.astype(dtype), mask.astype(dtype)]
-        )
+        scl = jnp.stack(scl_rows)
         scal = jnp.concatenate(
             [
                 jnp.asarray(kappa, dtype).reshape(1),
@@ -153,10 +169,10 @@ def pme_real_energy(
                 inv3x3(box.astype(dtype)).reshape(9),
             ]
         )
-        assert g_i.shape[1] == table_width(lmax)
+        assert g_i.shape[1] == table_width(lmax, lpol)
         e = pair_perm_energies(
             g_i, g_j, scl, scal, lmax,
-            interpret=(pair_kernel == "interpret"),
+            interpret=(pair_kernel == "interpret"), lpol=lpol,
         )
         if compensated:
             return compensated_sum(e)
@@ -704,7 +720,35 @@ class ADMPPmeForce:
             )
 
         self.energy_fn = energy_fn
-        self.grad_U_fn = jax.grad(energy_fn, argnums=4)
+
+        # The exact-adjoint solve takes jax.vjp OF the field function
+        # (solver.py solve_bwd), i.e. differentiates the energy's gradient
+        # graph a second time — the fused pair kernel's custom-vjp backward
+        # is a raw pallas_call with no autodiff rule, so the field must ride
+        # the XLA pair path in that mode. The FH profile (solve_bwd's
+        # truncated branch) never re-differentiates the field and keeps the
+        # kernel. The outer force gradient of energy_fn is always
+        # first-order and keeps the kernel in both modes.
+        if self.scf_config.exact_adjoint:
+            import dataclasses as _dc
+
+            field_config = _dc.replace(config, pair_kernel="xla")
+
+            def field_energy_fn(positions, box, pairs, Q_local, U_ind, pol,
+                                tholes, mScales, pScales, dScales):
+                pair_chunk = (
+                    (1 << 21) if pairs.shape[0] > (1 << 22) else None
+                )
+                return energy_pme(
+                    positions, box, pairs, Q_local, U_ind, pol, tholes,
+                    mScales, pScales, dScales, covalent_map, axis_types,
+                    axis_indices, recip, kappa, lmax, True, pair_chunk,
+                    field_config, excl_pairs,
+                )
+
+            self.grad_U_fn = jax.grad(field_energy_fn, argnums=4)
+        else:
+            self.grad_U_fn = jax.grad(energy_fn, argnums=4)
 
         def field_fn(u, inputs):
             return self.grad_U_fn(

@@ -138,18 +138,21 @@ def _erfc_rows(y):
     return jnp.where(y < 0.46875, r1, jnp.where(big, erfc3, r2))
 
 
-def table_width(lmax: int) -> int:
-    """Columns of the packed per-atom table: positions + harmonics."""
-    return 3 + (lmax + 1) ** 2
+def table_width(lmax: int, lpol: bool = False) -> int:
+    """Columns of the packed per-atom table: positions + harmonics
+    (+ induced dipole, polarizability, thole width when polarizable)."""
+    return 3 + (lmax + 1) ** 2 + (5 if lpol else 0)
 
 
-def _block_energy(gi_t, gj_t, scl, scal, lmax: int):
+def _block_energy(gi_t, gj_t, scl, scal, lmax: int, lpol: bool = False):
     """Per-pair permanent energy from TRANSPOSED table blocks — the single
     block function the forward kernel, the in-kernel vjp, and the CPU/XLA
     cross-checks all trace.
 
-    gi_t/gj_t: (F, BC) transposed gathered rows [x, y, z, q_harm...].
-    scl: (>=2, BC) — row 0 mscale, row 1 mask (0/1).
+    gi_t/gj_t: (F, BC) transposed gathered rows [x, y, z, q_harm...] plus,
+    when ``lpol``, [u_harm (3), pol, thole].
+    scl: (>=2, BC) — row 0 mscale, row 1 mask (0/1); row 2 pscale when
+    ``lpol``.
     scal: tuple of _N_SCAL scalars — kappa, box.reshape(9),
     inv3x3(box).reshape(9) (a tuple, not an array: SMEM only supports
     scalar loads, and tuple inputs keep jax.grad per-scalar in the bwd
@@ -220,22 +223,45 @@ def _block_energy(gi_t, gj_t, scl, scal, lmax: int):
         r, kr, x, mscale, lmax, erfc_fn=_erfc_rows
     )
     e = realspace.pair_energy_perm(qi_i, qi_j, coef, lmax)
+
+    if lpol:
+        pscale = scl[2:3]
+        base = 3 + n_h
+        zero = jnp.zeros_like(r)
+        ui = rotate_harm_components(
+            (zero, gi_t[base:base + 1], gi_t[base + 1:base + 2],
+             gi_t[base + 2:base + 3]), frame, 1
+        )[1:]
+        uj = rotate_harm_components(
+            (zero, gj_t[base:base + 1], gj_t[base + 1:base + 2],
+             gj_t[base + 2:base + 3]), frame, 1
+        )[1:]
+        dmp = realspace.pair_damping_width(
+            gi_t[base + 3:base + 4], gj_t[base + 3:base + 4]
+        )
+        icoef = realspace.induced_coefficients(
+            r, gi_t[base + 4:base + 5], gj_t[base + 4:base + 5], dmp,
+            pscale, kappa, lmax, erfc_fn=_erfc_rows, exp_fn=_exp_rows,
+        )
+        e = e + realspace.pair_energy_induced(qi_i, qi_j, ui, uj, icoef,
+                                              lmax)
+
     return jnp.where(mask, e, jnp.zeros_like(e))
 
 
-def _make_fwd_kernel(lmax: int, f_cols: int):
+def _make_fwd_kernel(lmax: int, f_cols: int, lpol: bool):
     def kernel(scal_ref, gi_ref, gj_ref, scl_ref, e_ref):
         gi_t = jnp.transpose(gi_ref[...])[:f_cols]
         gj_t = jnp.transpose(gj_ref[...])[:f_cols]
         scal = tuple(scal_ref[k] for k in range(_N_SCAL))
         e_ref[...] = _block_energy(
-            gi_t, gj_t, scl_ref[...], scal, lmax
+            gi_t, gj_t, scl_ref[...], scal, lmax, lpol
         )
 
     return kernel
 
 
-def _make_bwd_kernel(lmax: int, f_cols: int):
+def _make_bwd_kernel(lmax: int, f_cols: int, lpol: bool):
     def kernel(scal_ref, gi_ref, gj_ref, scl_ref, ct_ref,
                dgi_ref, dgj_ref, dscl_ref, dscal_ref):
         ct = ct_ref[...]
@@ -243,7 +269,9 @@ def _make_bwd_kernel(lmax: int, f_cols: int):
         def f(gi_blk, gj_blk, scl, scal):
             gi_t = jnp.transpose(gi_blk)[:f_cols]
             gj_t = jnp.transpose(gj_blk)[:f_cols]
-            return jnp.sum(_block_energy(gi_t, gj_t, scl, scal, lmax) * ct)
+            return jnp.sum(
+                _block_energy(gi_t, gj_t, scl, scal, lmax, lpol) * ct
+            )
 
         scal = tuple(scal_ref[k] for k in range(_N_SCAL))
         dgi, dgj, dscl, dscal = jax.grad(f, argnums=(0, 1, 2, 3))(
@@ -279,16 +307,23 @@ def _pad_scl(scl, block):
     return scl
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def pair_perm_energies(g_i, g_j, scl, scal, lmax, block=1024,
-                       interpret=False):
+                       interpret=False, lpol=False):
     """Per-pair permanent real-space energies via the fused pair kernel.
 
     g_i/g_j: (C, F) gathered per-pair rows of the packed atom table
-    [x, y, z, q_harm...] (F = table_width(lmax)); scl: (2, C) [mscale,
-    mask]; scal: (_N_SCAL,) [kappa, box(9), inv3x3(box)(9)]. Returns (C,)
-    masked per-pair energies — identical physics to the XLA path
-    (tests/test_pairs_kernel.py pins energies and every gradient)."""
+    [x, y, z, q_harm...] + [u_harm(3), pol, thole] when ``lpol``
+    (F = table_width(lmax, lpol)); scl: (2 or 3, C) [mscale, mask
+    (, pscale)]; scal: (_N_SCAL,) [kappa, box(9), inv3x3(box)(9)]. Returns
+    (C,) masked per-pair energies — identical physics to the XLA path
+    (tests/test_pairs_kernel.py pins energies and every gradient).
+
+    First-order differentiable (the custom-vjp backward is itself a Pallas
+    kernel with no autodiff rule): callers that differentiate the GRADIENT
+    graph again — the implicit-SCF exact adjoint takes jax.vjp of the field
+    function — must use the XLA path for that function (see
+    models/pme.py:_build_polarizable)."""
     c = g_i.shape[0]
     f_cols = g_i.shape[1]
     gi_p = _pad_lanes(g_i, block)
@@ -299,7 +334,7 @@ def pair_perm_energies(g_i, g_j, scl, scal, lmax, block=1024,
     scal_p = jnp.pad(scal.astype(g_i.dtype), (0, (-_N_SCAL) % 8))
 
     e = pl.pallas_call(
-        _make_fwd_kernel(lmax, f_cols),
+        _make_fwd_kernel(lmax, f_cols, lpol),
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((scal_p.shape[0],), lambda p: (_I0,),
@@ -319,12 +354,13 @@ def pair_perm_energies(g_i, g_j, scl, scal, lmax, block=1024,
     return e[0, :c]
 
 
-def _pair_perm_fwd(g_i, g_j, scl, scal, lmax, block=1024, interpret=False):
-    e = pair_perm_energies(g_i, g_j, scl, scal, lmax, block, interpret)
+def _pair_perm_fwd(g_i, g_j, scl, scal, lmax, block=1024, interpret=False,
+                   lpol=False):
+    e = pair_perm_energies(g_i, g_j, scl, scal, lmax, block, interpret, lpol)
     return e, (g_i, g_j, scl, scal)
 
 
-def _pair_perm_bwd(lmax, block, interpret, res, ct):
+def _pair_perm_bwd(lmax, block, interpret, lpol, res, ct):
     g_i, g_j, scl, scal = res
     c = g_i.shape[0]
     f_cols = g_i.shape[1]
@@ -337,7 +373,7 @@ def _pair_perm_bwd(lmax, block, interpret, res, ct):
     scal_p = jnp.pad(scal.astype(g_i.dtype), (0, (-_N_SCAL) % 8))
 
     dgi, dgj, dscl, dscal = pl.pallas_call(
-        _make_bwd_kernel(lmax, f_cols),
+        _make_bwd_kernel(lmax, f_cols, lpol),
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((scal_p.shape[0],), lambda p: (_I0,),

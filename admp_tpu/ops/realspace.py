@@ -253,7 +253,7 @@ def perm_coefficients_from_screening(r, kr, x, mscale, lmax: int,
     return out
 
 
-def thole_factor_complements(u_scaled):
+def thole_factor_complements(u_scaled, exp_fn=exp_accurate):
     """Thole damping factor *complements* (c-1, d0-1, d1-1, q0-1, q1-1) given
     au = a * r / dmp.
 
@@ -265,7 +265,7 @@ def thole_factor_complements(u_scaled):
     The exp overflow clamp at au > 50 becomes a plain where.
     """
     au = u_scaled
-    exp_au = jnp.where(au < 50.0, exp_accurate(-jnp.minimum(au, 50.0)), 0.0)
+    exp_au = jnp.where(au < 50.0, exp_fn(-jnp.minimum(au, 50.0)), 0.0)
     au2 = au * au
     au3 = au2 * au
     au4 = au3 * au
@@ -277,12 +277,15 @@ def thole_factor_complements(u_scaled):
     return cm, d0m, d1m, q0m, q1m
 
 
-def induced_coefficients(r, thole1, thole2, dmp, pscale, kappa, lmax: int):
+def induced_coefficients(r, thole1, thole2, dmp, pscale, kappa, lmax: int,
+                         erfc_fn=erfc, exp_fn=exp_accurate):
     """Screened induced-dipole interaction coefficients.
 
     Returns dict with cud, dud_m0, dud_m1, udq_m0, udq_m1, udud_m0, udud_m1.
     Parity with reference: admp/pme.py:379-475. ``uscale`` is fixed to 1 there
-    (admp/pme.py:472) and here.
+    (admp/pme.py:472) and here. ``erfc_fn``/``exp_fn`` let the fused Pallas
+    pair kernel substitute Mosaic-lowerable implementations (see
+    ops/pallas/pairs.py).
     """
     # Thole width: DEFAULT for real interacting pairs (pscale ~ 0), thole1+thole2
     # for scaled intramolecular pairs — a Fermi switch on pscale
@@ -293,7 +296,7 @@ def induced_coefficients(r, thole1, thole2, dmp, pscale, kappa, lmax: int):
 
     dmp_safe = jnp.maximum(dmp, 1e-8)
     u = jnp.minimum(r / dmp_safe, 1e8)
-    tcm, td0m, td1m, tq0m, tq1m = thole_factor_complements(a * u)
+    tcm, td0m, td1m, tq0m, tq1m = thole_factor_complements(a * u, exp_fn)
 
     r_inv = 1.0 / r
     d2 = DIELECTRIC * r_inv * r_inv
@@ -303,14 +306,14 @@ def induced_coefficients(r, thole1, thole2, dmp, pscale, kappa, lmax: int):
     kr2 = kr * kr
     kr3 = kr2 * kr
     kr5 = kr3 * kr2
-    x = 2.0 * exp_accurate(-kr2) / SQRT_PI
+    x = 2.0 * exp_fn(-kr2) / SQRT_PI
     # cancellation-free regrouping (see ewald_screening_s):
     #   pscale * t + b2            = pscale * (t-1) + (pscale-1) + erfc + kr x
     #   pscale * t + b3            = ... + (2/3) kr^3 x
     #   pscale * t + b3 - 2/3kr^3x = pscale * (t-1) + (pscale-1) + erfc + kr x
     # (uscale = 1 terms drop the (pscale-1); reference: admp/pme.py:472)
     ps1 = pscale - 1.0
-    e2 = erfc(kr) + kr * x
+    e2 = erfc_fn(kr) + kr * x
     e3 = e2 + (2.0 / 3.0) * kr3 * x
 
     out = {"cud": 2.0 * d2 * (pscale * tcm + ps1 + e2)}

@@ -80,3 +80,58 @@ def test_pair_kernel_compensated_and_chunked():
     assert abs(f("interpret", 128, False) - base) < 0.05
     assert abs(f("interpret", None, True) - base) < 0.05
     assert abs(f("xla", None, False) - base) < 0.05
+
+
+def test_pair_kernel_lpol_matches_xla():
+    """Polarizable (lpol) kernel branch: energy + grads wrt every
+    differentiable input match the XLA pipeline at the f32 floor."""
+    from admp_tpu.systems import water_system
+
+    lmax = 2
+    s = water_system(n_side=3, spacing=3.1, jitter=0.12, seed=5)
+    n = s["positions"].shape[0]
+    pos = jnp.asarray(np.asarray(s["positions"], np.float32))
+    box = jnp.asarray(np.asarray(s["box"], np.float32))
+    nl = neighbor_list_dense(pos, box, 4.0)
+    pairs = jnp.asarray(nl.pairs)
+    q_local = jnp.asarray(np.asarray(
+        convert_cart2harm(jnp.asarray(s["q_cart"]), 2), np.float32))
+    frames = construct_local_frames(
+        pos, box, jnp.asarray(s["axis_types"]), jnp.asarray(s["axis_indices"])
+    )
+    qg = rot_local2global(q_local, frames.astype(jnp.float32), lmax)
+    cov = jnp.asarray(s["covalent_map"])
+    rng = np.random.default_rng(6)
+    u = jnp.asarray(rng.normal(0, 0.05, (n, 3)).astype(np.float32))
+    pol = jnp.asarray(np.asarray(s["pol"], np.float32))
+    tholes = jnp.asarray(np.asarray(s["tholes"], np.float32))
+    m_scales = jnp.asarray(np.array([0.0, 0.3, 0.7, 1.0, 1.0], np.float32))
+    p_scales = jnp.asarray(np.array([0.0, 0.5, 1.0, 1.0, 1.0], np.float32))
+
+    def f(kind):
+        def g(pos_, box_, qg_, u_, pol_, tholes_, m_, p_):
+            return pme_real_energy(
+                pos_, box_, pairs, qg_, u_, pol_, tholes_, m_, p_,
+                cov, jnp.float32(0.68), lmax, True, pair_kernel=kind,
+            )
+        return g
+
+    args = (pos, box, qg, u, pol, tholes, m_scales, p_scales)
+    ex, gx = jax.value_and_grad(f("xla"), argnums=tuple(range(8)))(*args)
+    ek, gk = jax.value_and_grad(f("interpret"), argnums=tuple(range(8)))(*args)
+    assert abs(float(ek - ex)) < 2e-6 * abs(float(ex)) + 1e-3
+    names = ("pos", "box", "Q", "u", "pol", "tholes", "mScales", "pScales")
+    for a, b, name in zip(gk, gx, names):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        # dE/dpol is NaN on zero-polarizability (H) sites in BOTH paths
+        # (f32-denormal 1e-48 clamp in pair_damping_width under grad) —
+        # the kernel must reproduce the same finite/NaN pattern
+        np.testing.assert_array_equal(
+            np.isfinite(a), np.isfinite(b), err_msg=name
+        )
+        fin = np.isfinite(b)
+        if not np.any(fin):  # dE/dpol: every site NaN in both paths
+            continue
+        scale = np.sqrt(np.mean(b[fin] ** 2)) + 1e-12
+        err = np.sqrt(np.mean((a[fin] - b[fin]) ** 2)) / scale
+        assert err < 5e-6, (name, err)
