@@ -172,7 +172,8 @@ def pme_real_energy(
         assert g_i.shape[1] == table_width(lmax, lpol)
         e = pair_perm_energies(
             g_i, g_j, scl, scal, lmax,
-            interpret=(pair_kernel == "interpret"), lpol=lpol,
+            interpret=(pair_kernel == "interpret"),
+            kind="pol" if lpol else "perm",
         )
         if compensated:
             return compensated_sum(e)
@@ -213,6 +214,7 @@ def pme_real_uu_energy(
     covalent_map,
     kappa,
     pair_chunk: int | None = None,
+    pair_kernel: str = "auto",
 ):
     """Real-space induced-induced energy only: u^T A_real u / 2 terms.
 
@@ -227,7 +229,7 @@ def pme_real_uu_energy(
         energies = jax.lax.map(
             lambda blk: pme_real_uu_energy(
                 positions, box, blk, u_ind_harm, pol, tholes, p_scales,
-                covalent_map, kappa,
+                covalent_map, kappa, None, pair_kernel,
             ),
             blocks,
         )
@@ -237,6 +239,52 @@ def pme_real_uu_energy(
     mask = raw_i < raw_j
     i = jnp.minimum(raw_i, n - 1)
     j = jnp.minimum(raw_j, n - 1)
+
+    if (
+        u_ind_harm.dtype == positions.dtype
+        and _use_pair_kernel(pair_kernel, positions.dtype)
+    ):
+        # fused matvec pair pass (ops/pallas/pairs.py kind='uu'): this runs
+        # every PCG iteration of the forward solve AND every implicit-
+        # adjoint iteration; the matvec is only ever differentiated once
+        # (grad of the u-quadratic energy), so the first-order-only kernel
+        # is safe in both SCF gradient modes
+        from admp_tpu.ops.exclusions import (
+            lookup_topology_distance as _lookup,
+            scale_for_distance as _scale,
+        )
+        from admp_tpu.ops.pallas.pairs import pair_perm_energies
+
+        dtype = positions.dtype
+        packed = jnp.concatenate(
+            [
+                positions,
+                u_ind_harm,
+                pol.astype(dtype)[:, None],
+                tholes.astype(dtype)[:, None],
+            ],
+            axis=1,
+        )
+        g_i, g_j = packed[i], packed[j]
+        nbond_k = _lookup(covalent_map, i, j)
+        scl = jnp.stack(
+            [
+                _scale(p_scales, nbond_k).astype(dtype),
+                mask.astype(dtype),
+            ]
+        )
+        scal = jnp.concatenate(
+            [
+                jnp.asarray(kappa, dtype).reshape(1),
+                box.astype(dtype).reshape(9),
+                inv3x3(box.astype(dtype)).reshape(9),
+            ]
+        )
+        e = pair_perm_energies(
+            g_i, g_j, scl, scal, 1,
+            interpret=(pair_kernel == "interpret"), kind="uu",
+        )
+        return jnp.sum(e)
 
     # The uu contraction only needs the radial projection: in the QI frame
     #   e = m0 uj_z ui_z + m1 (uj_x ui_x + uj_y ui_y)
@@ -304,7 +352,7 @@ def make_induced_quadratic_energy(covalent_map, kappa, grid_shape, config,
         u_harm = cart_dipole_to_harm(u_ind_cart)
         e = pme_real_uu_energy(
             positions, box, pairs, u_harm, pol, tholes, p_scales,
-            covalent_map, kappa, pair_chunk,
+            covalent_map, kappa, pair_chunk, config.pair_kernel,
         )
         q_u = jnp.concatenate(
             [jnp.zeros((u_harm.shape[0], 1), u_harm.dtype), u_harm], axis=-1

@@ -144,6 +144,53 @@ def table_width(lmax: int, lpol: bool = False) -> int:
     return 3 + (lmax + 1) ** 2 + (5 if lpol else 0)
 
 
+def _wrap_rows(gi_t, gj_t, scal, mask):
+    """Minimum-image wrap on transposed rows — same math as
+    realspace._displacement_from_rows, box/binv as scalars."""
+    box = scal[1:10]
+    binv = scal[10:19]
+    dx = gi_t[0:1] - gj_t[0:1]
+    dy = gi_t[1:2] - gj_t[1:2]
+    dz = gi_t[2:3] - gj_t[2:3]
+    sa = dx * binv[0] + dy * binv[3] + dz * binv[6]
+    sb = dx * binv[1] + dy * binv[4] + dz * binv[7]
+    sc = dx * binv[2] + dy * binv[5] + dz * binv[8]
+    sa = sa - jnp.floor(sa + 0.5)
+    sb = sb - jnp.floor(sb + 0.5)
+    sc = sc - jnp.floor(sc + 0.5)
+    dx = sa * box[0] + sb * box[3] + sc * box[6]
+    dy = sa * box[1] + sb * box[4] + sc * box[7]
+    dz = sa * box[2] + sb * box[5] + sc * box[8]
+    sq = dx * dx + dy * dy + dz * dz
+    sq_safe = jnp.where(mask, sq, jnp.ones_like(sq))
+    r = jnp.where(mask, jnp.sqrt(sq_safe), jnp.ones_like(sq))
+    return dx, dy, dz, r, 1.0 / r
+
+
+def _block_uu_energy(gi_t, gj_t, scl, scal):
+    """Induced-induced (udud) pair energy — the SCF matvec's real-space
+    slice (same math as models/pme.pme_real_uu_energy: radial projection,
+    no QI frame). Table rows: [x, y, z, u_harm(3), pol, thole]; scl rows:
+    [pscale, mask]."""
+    pscale = scl[0:1]
+    mask = scl[1:2] > 0.5
+    kappa = scal[0]
+    dx, dy, dz, r, rinv = _wrap_rows(gi_t, gj_t, scal, mask)
+    # u in harmonic (z, x, y) order -> cartesian
+    uiz, uix, uiy = gi_t[3:4], gi_t[4:5], gi_t[5:6]
+    ujz, ujx, ujy = gj_t[3:4], gj_t[4:5], gj_t[5:6]
+    ui_z = (uix * dx + uiy * dy + uiz * dz) * rinv
+    uj_z = (ujx * dx + ujy * dy + ujz * dz) * rinv
+    ui_dot_uj = uix * ujx + uiy * ujy + uiz * ujz
+    dmp = realspace.pair_damping_width(gi_t[6:7], gj_t[6:7])
+    m0, m1 = realspace.induced_uu_coefficients(
+        r, gi_t[7:8], gj_t[7:8], dmp, pscale, kappa,
+        erfc_fn=_erfc_rows, exp_fn=_exp_rows,
+    )
+    e = (m0 - m1) * uj_z * ui_z + m1 * ui_dot_uj
+    return jnp.where(mask, e, jnp.zeros_like(e))
+
+
 def _block_energy(gi_t, gj_t, scl, scal, lmax: int, lpol: bool = False):
     """Per-pair permanent energy from TRANSPOSED table blocks — the single
     block function the forward kernel, the in-kernel vjp, and the CPU/XLA
@@ -249,19 +296,31 @@ def _block_energy(gi_t, gj_t, scl, scal, lmax: int, lpol: bool = False):
     return jnp.where(mask, e, jnp.zeros_like(e))
 
 
-def _make_fwd_kernel(lmax: int, f_cols: int, lpol: bool):
+def _block_dispatch(kind: str, lmax: int):
+    if kind == "uu":
+        return lambda gi_t, gj_t, scl, scal: _block_uu_energy(
+            gi_t, gj_t, scl, scal
+        )
+    return lambda gi_t, gj_t, scl, scal: _block_energy(
+        gi_t, gj_t, scl, scal, lmax, kind == "pol"
+    )
+
+
+def _make_fwd_kernel(lmax: int, f_cols: int, kind: str):
+    block_fn = _block_dispatch(kind, lmax)
+
     def kernel(scal_ref, gi_ref, gj_ref, scl_ref, e_ref):
         gi_t = jnp.transpose(gi_ref[...])[:f_cols]
         gj_t = jnp.transpose(gj_ref[...])[:f_cols]
         scal = tuple(scal_ref[k] for k in range(_N_SCAL))
-        e_ref[...] = _block_energy(
-            gi_t, gj_t, scl_ref[...], scal, lmax, lpol
-        )
+        e_ref[...] = block_fn(gi_t, gj_t, scl_ref[...], scal)
 
     return kernel
 
 
-def _make_bwd_kernel(lmax: int, f_cols: int, lpol: bool):
+def _make_bwd_kernel(lmax: int, f_cols: int, kind: str):
+    block_fn = _block_dispatch(kind, lmax)
+
     def kernel(scal_ref, gi_ref, gj_ref, scl_ref, ct_ref,
                dgi_ref, dgj_ref, dscl_ref, dscal_ref):
         ct = ct_ref[...]
@@ -269,9 +328,7 @@ def _make_bwd_kernel(lmax: int, f_cols: int, lpol: bool):
         def f(gi_blk, gj_blk, scl, scal):
             gi_t = jnp.transpose(gi_blk)[:f_cols]
             gj_t = jnp.transpose(gj_blk)[:f_cols]
-            return jnp.sum(
-                _block_energy(gi_t, gj_t, scl, scal, lmax, lpol) * ct
-            )
+            return jnp.sum(block_fn(gi_t, gj_t, scl, scal) * ct)
 
         scal = tuple(scal_ref[k] for k in range(_N_SCAL))
         dgi, dgj, dscl, dscal = jax.grad(f, argnums=(0, 1, 2, 3))(
@@ -309,13 +366,13 @@ def _pad_scl(scl, block):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def pair_perm_energies(g_i, g_j, scl, scal, lmax, block=1024,
-                       interpret=False, lpol=False):
+                       interpret=False, kind="perm"):
     """Per-pair permanent real-space energies via the fused pair kernel.
 
     g_i/g_j: (C, F) gathered per-pair rows of the packed atom table
     [x, y, z, q_harm...] + [u_harm(3), pol, thole] when ``lpol``
-    (F = table_width(lmax, lpol)); scl: (2 or 3, C) [mscale, mask
-    (, pscale)]; scal: (_N_SCAL,) [kappa, box(9), inv3x3(box)(9)]. Returns
+    (F = table_width(lmax, lpol)); kind='uu' instead takes the matvec
+    table [x, y, z, u_harm(3), pol, thole] with scl [pscale, mask]; scal: (_N_SCAL,) [kappa, box(9), inv3x3(box)(9)]. Returns
     (C,) masked per-pair energies — identical physics to the XLA path
     (tests/test_pairs_kernel.py pins energies and every gradient).
 
@@ -334,7 +391,7 @@ def pair_perm_energies(g_i, g_j, scl, scal, lmax, block=1024,
     scal_p = jnp.pad(scal.astype(g_i.dtype), (0, (-_N_SCAL) % 8))
 
     e = pl.pallas_call(
-        _make_fwd_kernel(lmax, f_cols, lpol),
+        _make_fwd_kernel(lmax, f_cols, kind),
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((scal_p.shape[0],), lambda p: (_I0,),
@@ -355,12 +412,12 @@ def pair_perm_energies(g_i, g_j, scl, scal, lmax, block=1024,
 
 
 def _pair_perm_fwd(g_i, g_j, scl, scal, lmax, block=1024, interpret=False,
-                   lpol=False):
-    e = pair_perm_energies(g_i, g_j, scl, scal, lmax, block, interpret, lpol)
+                   kind="perm"):
+    e = pair_perm_energies(g_i, g_j, scl, scal, lmax, block, interpret, kind)
     return e, (g_i, g_j, scl, scal)
 
 
-def _pair_perm_bwd(lmax, block, interpret, lpol, res, ct):
+def _pair_perm_bwd(lmax, block, interpret, kind, res, ct):
     g_i, g_j, scl, scal = res
     c = g_i.shape[0]
     f_cols = g_i.shape[1]
@@ -373,7 +430,7 @@ def _pair_perm_bwd(lmax, block, interpret, lpol, res, ct):
     scal_p = jnp.pad(scal.astype(g_i.dtype), (0, (-_N_SCAL) % 8))
 
     dgi, dgj, dscl, dscal = pl.pallas_call(
-        _make_bwd_kernel(lmax, f_cols, lpol),
+        _make_bwd_kernel(lmax, f_cols, kind),
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((scal_p.shape[0],), lambda p: (_I0,),

@@ -406,7 +406,8 @@ def pair_energy_induced(qi_i, qi_j, ui, uj, icoef, lmax: int):
     return 0.5 * (e_ju + e_iu) + e_uu
 
 
-def induced_uu_coefficients(r, thole1, thole2, dmp, pscale, kappa):
+def induced_uu_coefficients(r, thole1, thole2, dmp, pscale, kappa,
+                            erfc_fn=erfc, exp_fn=exp_accurate):
     """Only the induced-induced (udud) screened coefficients.
 
     The SCF matvec A v needs just the u-quadratic part of the energy; the
@@ -424,7 +425,7 @@ def induced_uu_coefficients(r, thole1, thole2, dmp, pscale, kappa):
     dmp_safe = jnp.maximum(dmp, 1e-8)
     u = jnp.minimum(r / dmp_safe, 1e8)
     au = a * u
-    exp_au = jnp.where(au < 50.0, exp_accurate(-jnp.minimum(au, 50.0)), 0.0)
+    exp_au = jnp.where(au < 50.0, exp_fn(-jnp.minimum(au, 50.0)), 0.0)
     au2 = au * au
     au3 = au2 * au
     td0m = -exp_au * (1.0 + au + 0.5 * au2 + au3 / 4.0)
@@ -435,8 +436,8 @@ def induced_uu_coefficients(r, thole1, thole2, dmp, pscale, kappa):
     kr = kappa * r
     kr2 = kr * kr
     kr3 = kr2 * kr
-    x = 2.0 * exp_accurate(-kr2) / SQRT_PI
-    e2 = erfc(kr) + kr * x
+    x = 2.0 * exp_fn(-kr2) / SQRT_PI
+    e2 = erfc_fn(kr) + kr * x
     e3 = e2 + (2.0 / 3.0) * kr3 * x
     udud_m0 = -2.0 / 3.0 * d3 * (3.0 * (td0m + e3) + kr3 * x)
     udud_m1 = d3 * (td1m + e2)

@@ -3,8 +3,9 @@
 
 Same hoist-proof methodology as profile_components_tpu.py (each component in
 its own scan with drifting positions, forces consumed into the carry), at the
-scale where the large-grid paths differ: K=320^3 fft-friendly grid, 1.6M-pair
-cell list, sparse exclusions, 2-D Pallas spread. Writes
+scale where the large-grid paths differ: K=256^3 grid (accuracy-validated,
+grid_98k_cpu.out), 1.6M-pair cell list, sparse exclusions, 2-D Pallas spread,
+fused pair kernel, row-gather adjoint. Writes
 examples/profile_98k_tpu.out.
 
 Reference scale context: the reference engine cannot run this system at all
@@ -52,6 +53,10 @@ def main():
         box, s["axis_types"], s["axis_indices"], exclusions,
         4.0, 1e-4, lmax=2, fft_friendly_grid=True,
     )
+    # K=256: accuracy-viable at this box (examples/grid_98k_cpu.out) and the
+    # grid the production 98k step runs (examples/fluctuating_98k_tpu.out)
+    force.K1 = force.K2 = force.K3 = 256
+    force.refresh_calculators()
     grid = (force.K1, force.K2, force.K3)
 
     r0 = 0.9572
@@ -128,7 +133,7 @@ def main():
         qg = rot_local2global(q_fixed, frames, 2)
         return pme_real_energy(
             p, box, pairs, qg, None, None, None, m_scales, None,
-            exclusions, force.kappa, 2, False, pair_chunk=(1 << 18),
+            exclusions, force.kappa, 2, False, pair_chunk=None,
         )
 
     # reciprocal only (spread + FFT + influence + Parseval, and adjoint)
@@ -148,8 +153,8 @@ def main():
 
     full = timeit("FULL e+g (fluctuating multipoles)", full_energy)
     timeit("frozen-q e+g (no generator VJP)", frozen_q_energy)
-    timeit("real-space e+g (1.6M pairs, chunked)", real_energy)
-    timeit("reciprocal e+g (K=320 spread+FFT+adj)", recip_energy)
+    timeit("real-space e+g (1.6M pairs)", real_energy)
+    timeit("reciprocal e+g (spread+FFT+adj)", recip_energy)
     timeit("frames+rotation e+g", rot_energy)
 
     OUT.write_text("\n".join(lines) + "\n")
