@@ -768,35 +768,13 @@ class ADMPPmeForce:
             )
 
         self.energy_fn = energy_fn
-
-        # The exact-adjoint solve takes jax.vjp OF the field function
+        # The exact-adjoint solve takes jax.vjp OF this field function
         # (solver.py solve_bwd), i.e. differentiates the energy's gradient
-        # graph a second time — the fused pair kernel's custom-vjp backward
-        # is a raw pallas_call with no autodiff rule, so the field must ride
-        # the XLA pair path in that mode. The FH profile (solve_bwd's
-        # truncated branch) never re-differentiates the field and keeps the
-        # kernel. The outer force gradient of energy_fn is always
-        # first-order and keeps the kernel in both modes.
-        if self.scf_config.exact_adjoint:
-            import dataclasses as _dc
-
-            field_config = _dc.replace(config, pair_kernel="xla")
-
-            def field_energy_fn(positions, box, pairs, Q_local, U_ind, pol,
-                                tholes, mScales, pScales, dScales):
-                pair_chunk = (
-                    (1 << 21) if pairs.shape[0] > (1 << 22) else None
-                )
-                return energy_pme(
-                    positions, box, pairs, Q_local, U_ind, pol, tholes,
-                    mScales, pScales, dScales, covalent_map, axis_types,
-                    axis_indices, recip, kappa, lmax, True, pair_chunk,
-                    field_config, excl_pairs,
-                )
-
-            self.grad_U_fn = jax.grad(field_energy_fn, argnums=4)
-        else:
-            self.grad_U_fn = jax.grad(energy_fn, argnums=4)
+        # graph a second time. The pair kernels support this: their
+        # custom-vjp backward is itself a custom_vjp whose backward is the
+        # in-kernel Hessian-vector program (ops/pallas/pairs._pair_bwd_op),
+        # so arbitrary-order pulls stay on Pallas.
+        self.grad_U_fn = jax.grad(energy_fn, argnums=4)
 
         def field_fn(u, inputs):
             return self.grad_U_fn(

@@ -417,8 +417,65 @@ def _pair_perm_fwd(g_i, g_j, scl, scal, lmax, block=1024, interpret=False,
     return e, (g_i, g_j, scl, scal)
 
 
-def _pair_perm_bwd(lmax, block, interpret, kind, res, ct):
-    g_i, g_j, scl, scal = res
+def _make_hvp_kernel(lmax: int, f_cols: int, kind: str):
+    """Backward-of-backward: VJP of the gradient op B(x, ct) = J_f(x)^T ct
+    at cotangents c — d_x is the ct-weighted Hessian-vector product H[ct] c
+    (in-kernel grad-of-grad) and d_ct = J_f(x) c (in-kernel jax.jvp). This
+    is what makes the pair kernels differentiable to ARBITRARY order: the
+    implicit-SCF exact adjoint takes jax.vjp of the field function, whose
+    primal graph contains the bwd kernel (the same structure that forced
+    the spread/gather pair to be mutual-adjoint custom_vjps)."""
+    block_fn = _block_dispatch(kind, lmax)
+
+    def kernel(scal_ref, cscal_ref, gi_ref, gj_ref, scl_ref, ct_ref,
+               cgi_ref, cgj_ref, cscl_ref,
+               dgi_ref, dgj_ref, dscl_ref, dct_ref, dscal_ref):
+        scal = tuple(scal_ref[k] for k in range(_N_SCAL))
+        cscal = tuple(cscal_ref[k] for k in range(_N_SCAL))
+        gi, gj = gi_ref[...], gj_ref[...]
+        scl, ct = scl_ref[...], ct_ref[...]
+        cgi, cgj, cscl = cgi_ref[...], cgj_ref[...], cscl_ref[...]
+
+        def f_vec(gi_blk, gj_blk, scl_blk, scal_t):
+            gi_t = jnp.transpose(gi_blk)[:f_cols]
+            gj_t = jnp.transpose(gj_blk)[:f_cols]
+            return block_fn(gi_t, gj_t, scl_blk, scal_t)
+
+        # d_ct = J_f(x) c (B is linear in ct with coefficient J_f)
+        _, d_ct = jax.jvp(f_vec, (gi, gj, scl, scal), (cgi, cgj, cscl, cscal))
+        dct_ref[...] = d_ct
+
+        # d_x = grad_x <grad_x sum(f ct), c>
+        def h(gi_blk, gj_blk, scl_blk, scal_t):
+            g = jax.grad(
+                lambda a, b, c_, d_: jnp.sum(f_vec(a, b, c_, d_) * ct),
+                argnums=(0, 1, 2, 3),
+            )(gi_blk, gj_blk, scl_blk, scal_t)
+            out = (jnp.sum(g[0] * cgi) + jnp.sum(g[1] * cgj)
+                   + jnp.sum(g[2] * cscl))
+            for k in range(_N_SCAL):
+                out = out + g[3][k] * cscal[k]
+            return out
+
+        dgi, dgj, dscl, dscal = jax.grad(h, argnums=(0, 1, 2, 3))(
+            gi, gj, scl, scal
+        )
+        dgi_ref[...] = dgi
+        dgj_ref[...] = dgj
+        dscl_ref[...] = dscl
+        p = pl.program_id(0)
+        for k in range(_N_SCAL):
+            dscal_ref[p, k] = dscal[k]
+
+    return kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _pair_bwd_op(g_i, g_j, scl, scal, ct, lmax, block, interpret, kind,
+                 n_scl_rows):
+    """First-order gradients of the pair energies: the custom-vjp backward
+    of pair_perm_energies, itself wrapped as a custom_vjp so it can appear
+    in graphs that get differentiated AGAIN (exact-adjoint field VJP)."""
     c = g_i.shape[0]
     f_cols = g_i.shape[1]
     gi_p = _pad_lanes(g_i, block)
@@ -465,8 +522,92 @@ def _pair_perm_bwd(lmax, block, interpret, kind, res, ct):
     return (
         dgi[:c],
         dgj[:c],
-        dscl[: scl.shape[0], :c],
+        dscl[:n_scl_rows, :c],
         jnp.sum(dscal, axis=0).astype(scal.dtype),
+    )
+
+
+def _pair_bwd_op_fwd(g_i, g_j, scl, scal, ct, lmax, block, interpret, kind,
+                     n_scl_rows):
+    out = _pair_bwd_op(g_i, g_j, scl, scal, ct, lmax, block, interpret,
+                       kind, n_scl_rows)
+    return out, (g_i, g_j, scl, scal, ct)
+
+
+def _pair_bwd_op_bwd(lmax, block, interpret, kind, n_scl_rows, res, cts):
+    g_i, g_j, scl, scal, ct = res
+    c_gi, c_gj, c_scl, c_scal = cts
+    c = g_i.shape[0]
+    f_cols = g_i.shape[1]
+    # the hvp kernel traces ~4x the forward's op count; halve the block to
+    # stay inside the Mosaic scoped-vmem stack limit
+    blk = max(block // 4, 128)
+    gi_p = _pad_lanes(g_i, blk)
+    gj_p = _pad_lanes(g_j, blk)
+    scl_p = _pad_scl(scl, blk)
+    ct_p = jnp.pad(ct[None], ((0, 0), (0, (-c) % blk)))
+    cgi_p = _pad_lanes(c_gi, blk)
+    cgj_p = _pad_lanes(c_gj, blk)
+    cscl_p = _pad_scl(c_scl, blk)
+    c_pad = gi_p.shape[0]
+    n_prog = c_pad // blk
+    dtype = g_i.dtype
+    scal_p = jnp.pad(scal.astype(dtype), (0, (-_N_SCAL) % 8))
+    cscal_p = jnp.pad(c_scal.astype(dtype), (0, (-_N_SCAL) % 8))
+
+    vm = lambda shape: pl.BlockSpec(shape, (lambda p: (p, _I0))
+                                    if shape[0] == blk else
+                                    (lambda p: (_I0, p)),
+                                    memory_space=pltpu.VMEM)
+    dgi, dgj, dscl, dct, dscal = pl.pallas_call(
+        _make_hvp_kernel(lmax, f_cols, kind),
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((scal_p.shape[0],), lambda p: (_I0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((cscal_p.shape[0],), lambda p: (_I0,),
+                         memory_space=pltpu.SMEM),
+            vm((blk, f_cols)),
+            vm((blk, f_cols)),
+            vm((8, blk)),
+            vm((1, blk)),
+            vm((blk, f_cols)),
+            vm((blk, f_cols)),
+            vm((8, blk)),
+        ],
+        out_specs=[
+            vm((blk, f_cols)),
+            vm((blk, f_cols)),
+            vm((8, blk)),
+            vm((1, blk)),
+            pl.BlockSpec((n_prog, _N_SCAL), lambda p: (_I0, _I0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c_pad, f_cols), dtype),
+            jax.ShapeDtypeStruct((c_pad, f_cols), dtype),
+            jax.ShapeDtypeStruct((8, c_pad), dtype),
+            jax.ShapeDtypeStruct((1, c_pad), dtype),
+            jax.ShapeDtypeStruct((n_prog, _N_SCAL), dtype),
+        ],
+        interpret=interpret,
+    )(scal_p, cscal_p, gi_p, gj_p, scl_p, ct_p, cgi_p, cgj_p, cscl_p)
+    return (
+        dgi[:c],
+        dgj[:c],
+        dscl[:scl.shape[0], :c],
+        jnp.sum(dscal, axis=0).astype(scal.dtype),
+        dct[0, :c],
+    )
+
+
+_pair_bwd_op.defvjp(_pair_bwd_op_fwd, _pair_bwd_op_bwd)
+
+
+def _pair_perm_bwd(lmax, block, interpret, kind, res, ct):
+    g_i, g_j, scl, scal = res
+    return _pair_bwd_op(
+        g_i, g_j, scl, scal, ct, lmax, block, interpret, kind, scl.shape[0]
     )
 
 

@@ -23,6 +23,8 @@ All inputs are batched over pairs with no vmap needed.
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 from jax.scipy.special import erfc
 
@@ -244,7 +246,10 @@ def perm_coefficients_from_screening(r, kr, x, mscale, lmax: int,
     if lmax >= 2:
         out["cq"] = d3 * s3
         out["dq_m0"] = d4 * (3.0 * s3 + (4.0 / 3.0) * kr5 * x)
-        out["dq_m1"] = -jnp.sqrt(3.0) * d4 * s3
+        # python-float sqrt(3): jnp.sqrt(3.0) under jax_enable_x64 traces an
+        # f64 sqrt INSIDE consumers' graphs (Mosaic cannot legalize f64
+        # sqrt/truncf in the pair kernels; weak-typed python floats adapt)
+        out["dq_m1"] = -math.sqrt(3.0) * d4 * s3
         out["qq_m0"] = d5 * (
             6.0 * s4 + (4.0 / 45.0) * (-3.0 + 10.0 * kr2) * kr5 * x
         )
@@ -326,7 +331,7 @@ def induced_coefficients(r, thole1, thole2, dmp, pscale, kappa, lmax: int,
         out["udq_m0"] = 2.0 * d4 * (
             3.0 * (pscale * tq0m + ps1 + e3) + 4.0 / 3.0 * kr5 * x
         )
-        out["udq_m1"] = -2.0 * jnp.sqrt(3.0) * d4 * (pscale * tq1m + ps1 + e3)
+        out["udq_m1"] = -2.0 * math.sqrt(3.0) * d4 * (pscale * tq1m + ps1 + e3)
     # induced-induced, uscale = 1
     out["udud_m0"] = -2.0 / 3.0 * d3 * (3.0 * (td0m + e3) + kr3 * x)
     out["udud_m1"] = d3 * (td1m + e2)
@@ -447,9 +452,18 @@ def induced_uu_coefficients(r, thole1, thole2, dmp, pscale, kappa,
 def pair_damping_width(pol_i, pol_j):
     """Thole distance rescaling (pol_i pol_j)^(1/6), reference: admp/pme.py:732-735.
 
-    The product is clamped at 1e-48 so the width bottoms out at 1e-8 — the same
-    floor the reference applies post-hoc via trim_val_0 (admp/pme.py:413,362) —
-    while keeping the gradient finite for zero-polarizability sites.
+    The product is floored (reference: post-hoc trim_val_0,
+    admp/pme.py:413,362) with the double-where guard so derivatives of EVERY
+    order stay finite at zero-polarizability sites: a bare
+    ``maximum(prod, eps) ** (1/6)`` evaluates pow' at the clamp point, which
+    overflows f32 below ~1e-36 and poisons dE/dpol (and, through the
+    Hessian-vector pair kernel, everything) with Inf * 0 = NaN. The 1e-36
+    floor (width 1e-6) only engages for products 16+ orders below any
+    physical polarizability pair, where the Thole factor is 1 to f32
+    precision either way.
     """
-    prod = jnp.maximum(pol_i * pol_j, 1e-48)
-    return prod ** (1.0 / 6.0)
+    prod = pol_i * pol_j
+    small = prod <= 1e-36
+    prod_safe = jnp.where(small, jnp.ones_like(prod), prod)
+    return jnp.where(small, jnp.full_like(prod, 1e-6),
+                     prod_safe ** (1.0 / 6.0))
