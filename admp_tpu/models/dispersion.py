@@ -22,7 +22,7 @@ from admp_tpu.settings import EngineConfig, maybe_jit
 
 
 def disp_pme_real_energy(positions, box, pairs, c_list, m_scales, covalent_map,
-                         kappa, pmax: int):
+                         kappa, pmax: int, pairs_i_sorted: bool = False):
     """Real-space dispersion Ewald energy over a padded pair list
     (reference: admp/disp_pme.py:126-216)."""
     n = positions.shape[0]
@@ -30,9 +30,21 @@ def disp_pme_real_energy(positions, box, pairs, c_list, m_scales, covalent_map,
     mask = raw_i < raw_j
     i = jnp.minimum(raw_i, n - 1)
     j = jnp.minimum(raw_j, n - 1)
-    # component-form geometry (see ops/realspace.qi_pair_components): AoS
-    # gathers, scalar minimum-image wrap, no (C, 3) intermediates
-    p_i, p_j = positions[i], positions[j]
+    # component-form geometry (see ops/realspace.qi_pair_components):
+    # positions + dispersion coefficients packed into ONE table so each pair
+    # side costs a single row gather; the i-side transpose rides the sorted
+    # segment-sum when the pair list is i-sorted (EngineConfig.pairs_i_sorted)
+    if c_list.dtype == positions.dtype:
+        from admp_tpu.ops.realspace import take_rows_sorted
+
+        packed = jnp.concatenate([positions, c_list], axis=1)
+        g_i = take_rows_sorted(packed, i) if pairs_i_sorted else packed[i]
+        g_j = packed[j]
+        p_i, p_j = g_i[:, :3], g_j[:, :3]
+        c_i, c_j = g_i[:, 3:], g_j[:, 3:]
+    else:
+        p_i, p_j = positions[i], positions[j]
+        c_i, c_j = c_list[i], c_list[j]
     dx = p_i[:, 0] - p_j[:, 0]
     dy = p_i[:, 1] - p_j[:, 1]
     dz = p_i[:, 2] - p_j[:, 2]
@@ -55,12 +67,12 @@ def disp_pme_real_energy(positions, box, pairs, c_list, m_scales, covalent_map,
 
     nbond = lookup_topology_distance(covalent_map, i, j)
     mscale = scale_for_distance(m_scales, nbond)
-    e = dispersion_pair_energy(r2, c_list[i], c_list[j], mscale, kappa, pmax)
+    e = dispersion_pair_energy(r2, c_i, c_j, mscale, kappa, pmax)
     return jnp.sum(jnp.where(mask, e, 0.0))
 
 
 def energy_disp_pme(positions, box, pairs, c_list, m_scales, covalent_map,
-                    kappa, pmax, recip_fn):
+                    kappa, pmax, recip_fn, pairs_i_sorted: bool = False):
     """Total dispersion PME energy (reference: admp/disp_pme.py:80-123).
 
     ``c_list`` is (N, n_p) with columns (C6^(1/2), C8^(1/2), C10^(1/2)) in the
@@ -68,7 +80,8 @@ def energy_disp_pme(positions, box, pairs, c_list, m_scales, covalent_map,
     spread + one batched FFT (see ops/reciprocal.py make_disp_pme_recip).
     """
     energy = disp_pme_real_energy(
-        positions, box, pairs, c_list, m_scales, covalent_map, kappa, pmax
+        positions, box, pairs, c_list, m_scales, covalent_map, kappa, pmax,
+        pairs_i_sorted,
     )
     energy = energy + recip_fn(positions, box, c_list)
     energy = energy + dispersion_self_energy(c_list, kappa, pmax)
@@ -155,7 +168,7 @@ class ADMPDispPmeForce:
         def get_energy(positions, box, pairs, c_list, mScales):
             return energy_disp_pme(
                 positions, box, pairs, c_list, mScales, covalent_map,
-                kappa, pmax, recip_fn,
+                kappa, pmax, recip_fn, cfg.pairs_i_sorted,
             )
 
         def get_metrics(positions, box, pairs, c_list, mScales):

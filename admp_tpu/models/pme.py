@@ -76,6 +76,7 @@ def pme_real_energy(
     exclude_topological: bool = False,
     compensated: bool = False,
     pair_kernel: str = "auto",
+    pairs_i_sorted: bool = False,
 ):
     """Real-space multipolar Ewald energy over a padded pair list.
 
@@ -107,6 +108,7 @@ def pme_real_energy(
                 positions, box, blk, q_global, u_ind_harm, pol, tholes,
                 m_scales, p_scales, covalent_map, kappa, lmax, lpol,
                 None, exclude_topological, compensated, pair_kernel,
+                pairs_i_sorted,  # chunks are contiguous slices: still sorted
             ),
             blocks,
         )
@@ -160,7 +162,9 @@ def pme_real_energy(
                 scale_for_distance(p_scales, nbond).astype(dtype)
             )
         packed = jnp.concatenate(cols, axis=1)
-        g_i, g_j = packed[i], packed[j]
+        g_i = (realspace.take_rows_sorted(packed, i) if pairs_i_sorted
+               else packed[i])
+        g_j = packed[j]
         scl = jnp.stack(scl_rows)
         scal = jnp.concatenate(
             [
@@ -184,7 +188,7 @@ def pme_real_energy(
     # were the dominant real-space cost (ROADMAP round-2 continuation)
     r, qi_i, qi_j, ui, uj = realspace.qi_pair_components(
         positions, box, q_global, i, j, mask, lmax,
-        u_ind_harm if lpol else None,
+        u_ind_harm if lpol else None, i_sorted=pairs_i_sorted,
     )
 
     coef = realspace.perm_coefficients(r, mscale, kappa, lmax)
@@ -215,6 +219,7 @@ def pme_real_uu_energy(
     kappa,
     pair_chunk: int | None = None,
     pair_kernel: str = "auto",
+    pairs_i_sorted: bool = False,
 ):
     """Real-space induced-induced energy only: u^T A_real u / 2 terms.
 
@@ -229,7 +234,7 @@ def pme_real_uu_energy(
         energies = jax.lax.map(
             lambda blk: pme_real_uu_energy(
                 positions, box, blk, u_ind_harm, pol, tholes, p_scales,
-                covalent_map, kappa, None, pair_kernel,
+                covalent_map, kappa, None, pair_kernel, pairs_i_sorted,
             ),
             blocks,
         )
@@ -265,7 +270,9 @@ def pme_real_uu_energy(
             ],
             axis=1,
         )
-        g_i, g_j = packed[i], packed[j]
+        g_i = (realspace.take_rows_sorted(packed, i) if pairs_i_sorted
+               else packed[i])
+        g_j = packed[j]
         nbond_k = _lookup(covalent_map, i, j)
         scl = jnp.stack(
             [
@@ -353,6 +360,7 @@ def make_induced_quadratic_energy(covalent_map, kappa, grid_shape, config,
         e = pme_real_uu_energy(
             positions, box, pairs, u_harm, pol, tholes, p_scales,
             covalent_map, kappa, pair_chunk, config.pair_kernel,
+            config.pairs_i_sorted,
         )
         q_u = jnp.concatenate(
             [jnp.zeros((u_harm.shape[0], 1), u_harm.dtype), u_harm], axis=-1
@@ -490,6 +498,7 @@ def energy_pme(
             exclude_topological=excl64,
             compensated=compensated,
             pair_kernel=config.pair_kernel,
+            pairs_i_sorted=config.pairs_i_sorted,
         )
     if excl64:
         e_excl = pme_real_energy(
@@ -560,6 +569,9 @@ def energy_pme(
                 None,
                 compensated=False,
                 pair_kernel=config.pair_kernel,
+                # nonzero-compaction preserves order: near_pairs inherit the
+                # main list's i-sortedness
+                pairs_i_sorted=config.pairs_i_sorted,
             )
 
         delta = near_pass(f64) - near_pass(work_dtype).astype(f64)
@@ -801,11 +813,19 @@ class ADMPPmeForce:
             )
         div = max(int(scf.matvec_grid_div), 1)
 
-        def _reduce_k(k):
+        def _reduce_k(k, keep_aligned=False):
+            if keep_aligned and k % 128 == 0:
+                # lane-aligned rows (K3 % 128 == 0) ride the row-gather
+                # spread adjoint (ops/pallas/spread._row_gather_impl);
+                # halving below 128 would forfeit it for a minor FLOP saving
+                return k
             kd = max(-(-k // div), 32)
             return kd + (kd % 2)  # keep even (Pallas/rfft-friendly)
 
-        mv_grid = tuple(_reduce_k(k) for k in (self.K1, self.K2, self.K3))
+        mv_grid = (
+            _reduce_k(self.K1), _reduce_k(self.K2),
+            _reduce_k(self.K3, keep_aligned=True),
+        )
         energy_uu = make_induced_quadratic_energy(
             covalent_map, kappa, mv_grid, mv_config,
             static_box=getattr(self, "_static_box", None),

@@ -29,12 +29,18 @@ from admp_tpu.utils.linalg3 import inv3x3
 class NeighborList:
     """Result container. ``pairs[k] = (i, j)`` with i < j for real entries and
     ``(n, n)`` for padding. ``did_overflow`` signals that capacity was exceeded
-    and the list must be reallocated."""
+    and the list must be reallocated.
+
+    ``i_sorted``: the pairs are non-decreasing in their i column (padding
+    sorts last as (n, n)). Both strategies emit sorted lists by default; the
+    flag feeds ``EngineConfig.pairs_i_sorted`` so the engines' backward pair
+    gathers can use sorted segment-sums instead of random scatter-adds."""
 
     pairs: jnp.ndarray
     did_overflow: jnp.ndarray
     capacity: int
     cutoff: float
+    i_sorted: bool = False
 
     @property
     def idx(self):
@@ -97,13 +103,17 @@ def neighbor_list_dense(positions, box, cutoff, capacity=None, padding=1.25):
         n_real = int(jnp.sum(pairs[:, 0] < positions.shape[0]))
         capacity = int(-(-int(n_real * padding) // 1024) * 1024)
     pairs, overflow = _dense_pairs(positions, box, cutoff, capacity)
-    return NeighborList(pairs, overflow, capacity, float(cutoff))
+    # triu_indices are i-major and nonzero-compaction preserves order, so
+    # dense lists are i-sorted by construction
+    return NeighborList(pairs, overflow, capacity, float(cutoff),
+                        i_sorted=True)
 
 
 def update_neighbor_list(nlist: NeighborList, positions, box):
     """Jit-friendly refresh at fixed capacity."""
     pairs, overflow = _dense_pairs(positions, box, nlist.cutoff, nlist.capacity)
-    return NeighborList(pairs, overflow, nlist.capacity, nlist.cutoff)
+    return NeighborList(pairs, overflow, nlist.capacity, nlist.cutoff,
+                        i_sorted=True)
 
 
 def refresh_neighbor_list(nlist: NeighborList, positions, box):
@@ -123,13 +133,15 @@ def refresh_neighbor_list(nlist: NeighborList, positions, box):
     if n_cells is not None:
         if tuple(_cell_grid(box, nlist.cutoff)) != tuple(n_cells):
             return neighbor_list_cell(positions, box, nlist.cutoff)
+        sort_i = bool(getattr(nlist, "i_sorted", False))
         pairs, overflow = _cell_pairs(
             positions, box, nlist.cutoff, n_cells, nlist.cell_capacity,
-            nlist.capacity,
+            nlist.capacity, sort_i=sort_i,
         )
         if bool(overflow):
             return neighbor_list_cell(positions, box, nlist.cutoff)
-        nl = NeighborList(pairs, overflow, nlist.capacity, nlist.cutoff)
+        nl = NeighborList(pairs, overflow, nlist.capacity, nlist.cutoff,
+                          i_sorted=sort_i)
         nl.n_cells = n_cells  # type: ignore[attr-defined]
         nl.cell_capacity = nlist.cell_capacity  # type: ignore[attr-defined]
         return nl
@@ -338,8 +350,10 @@ def _cell_count(positions, box, cutoff, n_cells, cell_capacity):
 _ROW_K = 64
 
 
-@partial(jax.jit, static_argnames=("n_cells", "cell_capacity", "capacity"))
-def _cell_pairs(positions, box, cutoff, n_cells, cell_capacity, capacity):
+@partial(jax.jit, static_argnames=("n_cells", "cell_capacity", "capacity",
+                                   "sort_i"))
+def _cell_pairs(positions, box, cutoff, n_cells, cell_capacity, capacity,
+                sort_i=True):
     """Cell-list neighbor search with static shapes.
 
     Atoms are binned into cells of edge >= cutoff; candidate pairs come from
@@ -385,6 +399,13 @@ def _cell_pairs(positions, box, cutoff, n_cells, cell_capacity, capacity):
     ii = jnp.where(valid, jnp.minimum(r, jj_raw), n).astype(jnp.int32)
     jj = jnp.where(valid, jnp.maximum(r, jj_raw), n).astype(jnp.int32)
     pairs = jnp.stack([ii, jj], axis=-1)
+    if sort_i:
+        # stage 2 emits rows in r order, but the canonical (min, max) swap
+        # breaks global i-monotonicity; one stable argsort restores it
+        # (padding ii == n sorts last). Costs one (capacity,) sort per
+        # refresh; buys sorted-segment backward pair gathers every MD step
+        # (EngineConfig.pairs_i_sorted).
+        pairs = pairs[jnp.argsort(ii)]
     overflow = (
         (n_found > capacity) | bucket_overflow | jnp.any(rowcnt > k_row)
     )
@@ -392,8 +413,11 @@ def _cell_pairs(positions, box, cutoff, n_cells, cell_capacity, capacity):
 
 
 def neighbor_list_cell(positions, box, cutoff, capacity=None, cell_capacity=None,
-                       padding=1.25):
-    """Allocate a cell-list neighbor list for large systems."""
+                       padding=1.25, sort_i=True):
+    """Allocate a cell-list neighbor list for large systems.
+
+    ``sort_i`` (default): emit the pair list non-decreasing in its i column
+    (see NeighborList.i_sorted / EngineConfig.pairs_i_sorted)."""
     positions = jnp.asarray(positions)
     box = jnp.asarray(box)
     n = positions.shape[0]
@@ -442,13 +466,15 @@ def neighbor_list_cell(positions, box, cutoff, capacity=None, cell_capacity=None
         capacity = -(-want // bucket) * bucket
     for _ in range(8):  # auto-retry: never hand back a silently-truncated list
         pairs, overflow = _cell_pairs(
-            positions, box, cutoff, n_cells, cell_capacity, capacity
+            positions, box, cutoff, n_cells, cell_capacity, capacity,
+            sort_i=sort_i,
         )
         if not bool(overflow):
             break
         cell_capacity *= 2
         capacity *= 2
-    nl = NeighborList(pairs, overflow, capacity, float(cutoff))
+    nl = NeighborList(pairs, overflow, capacity, float(cutoff),
+                      i_sorted=bool(sort_i))
     nl.n_cells = n_cells  # type: ignore[attr-defined]
     nl.cell_capacity = cell_capacity  # type: ignore[attr-defined]
     return nl

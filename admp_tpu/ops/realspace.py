@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.special import erfc
 
@@ -40,6 +41,41 @@ def _comp(q, k):
     if isinstance(q, (tuple, list)):
         return q[k]
     return q[..., k]
+
+
+@jax.custom_vjp
+def take_rows_sorted(table, idx):
+    """Row gather ``table[idx]`` whose transpose is a SORTED segment-sum.
+
+    The scatter-add transposes of the per-pair row gathers are the dominant
+    backward cost of the real-space pass at scale (~10-14 ns per random row
+    regardless of row width; ROADMAP round-3 continuation 5). When ``idx`` is
+    non-decreasing — pair lists from this package's neighbor lists are
+    emitted i-sorted — ``segment_sum(indices_are_sorted=True)`` replaces the
+    random scatter (measured 28.5 vs 39.8 ms per 1.7M-row pass at 98k atoms).
+
+    CONTRACT: ``idx`` MUST be non-decreasing. The forward output is identical
+    either way; an unsorted ``idx`` silently corrupts gradients. Higher-order
+    differentiation is exact (the backward is a linear segment-sum whose own
+    AD rules are correct, merely without the sorted fast path)."""
+    return table[idx]
+
+
+def _take_rows_sorted_fwd(table, idx):
+    return table[idx], (idx, table.shape[0])
+
+
+def _take_rows_sorted_bwd(res, ct):
+    idx, n_rows = res
+    return (
+        jax.ops.segment_sum(
+            ct, idx, num_segments=n_rows, indices_are_sorted=True
+        ),
+        None,
+    )
+
+
+take_rows_sorted.defvjp(_take_rows_sorted_fwd, _take_rows_sorted_bwd)
 
 
 def pair_displacement_components(positions, box, i, j, mask):
@@ -81,7 +117,7 @@ def _displacement_from_rows(p_i, p_j, box, mask):
 
 
 def qi_pair_components(positions, box, q_comps, i, j, mask, lmax: int,
-                       u_comps=None):
+                       u_comps=None, i_sorted: bool = False):
     """Pair geometry + quasi-internal-frame rotation, entirely in component
     ((C,)-array) form.
 
@@ -117,7 +153,8 @@ def qi_pair_components(positions, box, q_comps, i, j, mask, lmax: int,
         packed_u = False
     if q_comps.dtype == positions.dtype:
         packed = jnp.concatenate(cols, axis=1)
-        g_i, g_j = packed[i], packed[j]
+        g_i = take_rows_sorted(packed, i) if i_sorted else packed[i]
+        g_j = packed[j]
         p_i, p_j = g_i[:, :3], g_j[:, :3]
         qg_i, qg_j = g_i[:, 3:3 + n_h], g_j[:, 3:3 + n_h]
     else:  # mixed-precision modes keep separate gathers

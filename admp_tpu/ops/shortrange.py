@@ -27,7 +27,8 @@ distribute_multipoles = distribute_scalar
 distribute_dispcoeff = distribute_scalar
 
 
-def expand_pairs(positions, box, pairs, covalent_map, scales):
+def expand_pairs(positions, box, pairs, covalent_map, scales,
+                 pairs_i_sorted: bool = False):
     """Common pair-expansion preamble shared by all pairwise calculators.
 
     Args:
@@ -38,6 +39,9 @@ def expand_pairs(positions, box, pairs, covalent_map, scales):
         Distance 0 wraps to the *last* entry — intentional parity with the
         reference's ``mScales[nbonds - 1]`` negative-index trick
         (admp/pairwise.py:74), which parameter-gradient goldens depend on.
+      pairs_i_sorted: hint that the pair list is i-sorted (see
+        EngineConfig.pairs_i_sorted) — the i-side position-gather transpose
+        then runs as a sorted segment-sum.
 
     Returns:
       (mask, i, j, r, mscale) with clamped gather-safe indices and sanitized
@@ -50,7 +54,13 @@ def expand_pairs(positions, box, pairs, covalent_map, scales):
     j = jnp.minimum(raw_j, n - 1)
     # component-form geometry: one AoS gather per site, then scalar wrap —
     # (C, 3) displacement intermediates tile-pad on TPU (see ops/realspace)
-    p_i, p_j = positions[i], positions[j]
+    if pairs_i_sorted:
+        from admp_tpu.ops.realspace import take_rows_sorted
+
+        p_i = take_rows_sorted(positions, i)
+    else:
+        p_i = positions[i]
+    p_j = positions[j]
     dx = p_i[:, 0] - p_j[:, 0]
     dy = p_i[:, 1] - p_j[:, 1]
     dz = p_i[:, 2] - p_j[:, 2]
@@ -77,13 +87,15 @@ def expand_pairs(positions, box, pairs, covalent_map, scales):
     return mask, i, j, r, mscale
 
 
-def generate_pairwise_interaction(pair_int_kernel, covalent_map, static_args=None):
+def generate_pairwise_interaction(pair_int_kernel, covalent_map,
+                                  static_args=None,
+                                  pairs_i_sorted: bool = False):
     """Build (positions, box, pairs, mScales, *atomic_params) -> energy.
 
     API parity with reference: admp/pairwise.py:45-91. ``pair_int_kernel`` is a
     vectorized function (dr, mscale, p0_i, p0_j, p1_i, p1_j, ...) -> per-pair
     energies; each per-atom parameter array contributes a gathered (i, j) pair
-    of arguments in order.
+    of arguments in order. ``pairs_i_sorted``: see EngineConfig.pairs_i_sorted.
     """
     from admp_tpu.ops.exclusions import SparseExclusions
 
@@ -92,12 +104,18 @@ def generate_pairwise_interaction(pair_int_kernel, covalent_map, static_args=Non
 
     def pair_int(positions, box, pairs, m_scales, *atomic_params):
         mask, i, j, r, mscale = expand_pairs(
-            positions, box, pairs, covalent_map, m_scales
+            positions, box, pairs, covalent_map, m_scales, pairs_i_sorted
         )
         # pack the per-atom parameter columns and gather each site ONCE:
         # a (C, P) row-per-index gather beats P separate 1-D gathers on TPU
         packed = jnp.stack(atomic_params, axis=-1)
-        g_i, g_j = packed[i], packed[j]
+        if pairs_i_sorted:
+            from admp_tpu.ops.realspace import take_rows_sorted
+
+            g_i = take_rows_sorted(packed, i)
+        else:
+            g_i = packed[i]
+        g_j = packed[j]
         gathered = []
         for k in range(len(atomic_params)):
             gathered.append(g_i[:, k])

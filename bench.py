@@ -68,8 +68,16 @@ def build_pol_workload():
     pme = ADMPPmeForce(
         box, sysd["axis_types"], sysd["axis_indices"], sysd["covalent_map"],
         rc, ethresh, lmax=2, lpol=True,
-        config=EngineConfig(cache_influence=True, scf=SCFConfig.md()),
+        config=EngineConfig(cache_influence=True, scf=SCFConfig.md(),
+                            pairs_i_sorted=True),
     )
+    # lane-aligned mesh rows (K3 % 128 == 0) ride the row-gather spread
+    # adjoint; the heuristic 96^3 grid misses it. Measured ladder
+    # (examples/pol_grid_tpu.out): 96^3 21.99 / (96,96,128) 17.91 /
+    # 128^3 18.39 ms. z is FINER than the heuristic asks — accuracy only
+    # improves.
+    pme.K3 = 128
+    pme.refresh_calculators()
 
     # converge once cold so the timed loop starts from a realistic MD state
     u0, _, _ = pme.optimize_Uind(
@@ -177,7 +185,7 @@ def build_nonpol_workload():
 
     pme = ADMPPmeForce(
         box_j, axis_types, axis_indices, covalent_map, rc, ethresh, lmax=2,
-        config=EngineConfig(cache_influence=True),
+        config=EngineConfig(cache_influence=True, pairs_i_sorted=True),
     )
     pme.kappa = 0.657065221219616
     # K=128 electro grid (vs heuristic 154): dE -0.50 kJ/mol, force RMSE
@@ -188,7 +196,7 @@ def build_nonpol_workload():
     disp = ADMPDispPmeForce(
         box_j, covalent_map, rc, ethresh, pmax=10,
         config=EngineConfig(disp_ethresh=2e-4, disp_spread_order=4,
-                            cache_influence=True),
+                            cache_influence=True, pairs_i_sorted=True),
     )
     disp.kappa = 0.657065221219616
     # K=128 instead of the heuristic 129 (which contains the prime factor
@@ -196,7 +204,8 @@ def build_nonpol_workload():
     # inside the 1e-4 class), force RMSE 1.7e-6 vs parity grids (CPU f64)
     disp.K1, disp.K2, disp.K3 = 128, 128, 128
     disp.refresh_calculators()
-    tt = generate_pairwise_interaction(tt_damping_qq_c6_kernel, covalent_map)
+    tt = generate_pairwise_interaction(tt_damping_qq_c6_kernel, covalent_map,
+                                       pairs_i_sorted=True)
 
     c_j = jnp.asarray(c_list)
     a_j, b_j, q_j = jnp.asarray(tt_a), jnp.asarray(tt_b), jnp.asarray(tt_q)

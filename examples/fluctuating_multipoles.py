@@ -115,9 +115,14 @@ def main():
                 m_scales,
             )
     else:
+        from admp_tpu.settings import EngineConfig
+
         force = ADMPPmeForce(
             box, s["axis_types"], s["axis_indices"], exclusions,
-            args.rc, 1e-4, lmax=2, fft_friendly_grid=True,
+            args.rc, 1e-4, lmax=2,
+            # pairs_i_sorted: the cell list above emits i-sorted pairs, so
+            # the i-side backward pair gathers run as sorted segment-sums
+            config=EngineConfig(fft_friendly_grid=True, pairs_i_sorted=True),
         )
         if args.k:
             force.K1 = force.K2 = force.K3 = args.k

@@ -82,3 +82,50 @@ def test_cell_list_clustered_molecules():
     n = s["positions"].shape[0]
     assert not bool(cell.did_overflow)
     assert _as_set(cell, n) == _as_set(dense, n)
+
+
+def test_emitted_pairs_are_i_sorted():
+    """Both strategies emit i-sorted lists by default (NeighborList.i_sorted)
+    — the contract EngineConfig.pairs_i_sorted relies on for its
+    sorted-segment backward gathers. Padding (n, n) must sort last."""
+    from admp_tpu.systems import water_system
+
+    s = water_system(n_side=4, spacing=3.1, jitter=0.12, seed=9)
+    n = s["positions"].shape[0]
+    for nl in (
+        neighbor_list_dense(s["positions"], s["box"], 3.0),
+        neighbor_list_cell(s["positions"], s["box"], 3.0),
+    ):
+        assert nl.i_sorted
+        ii = np.asarray(nl.pairs[:, 0])
+        assert np.all(np.diff(ii) >= 0)
+        # canonical convention intact: real entries keep i < j
+        pairs = np.asarray(nl.pairs)
+        real = pairs[pairs[:, 0] < n]
+        assert np.all(real[:, 0] < real[:, 1])
+    unsorted = neighbor_list_cell(s["positions"], s["box"], 3.0, sort_i=False)
+    assert not unsorted.i_sorted
+    assert _as_set(unsorted, n) == _as_set(
+        neighbor_list_cell(s["positions"], s["box"], 3.0), n
+    )
+
+
+def test_take_rows_sorted_gradients_match_plain_gather():
+    """take_rows_sorted == table[idx] to second order for sorted idx."""
+    import jax
+
+    from admp_tpu.ops.realspace import take_rows_sorted
+
+    rng = np.random.default_rng(5)
+    table = jnp.asarray(rng.standard_normal((12, 5)), dtype=jnp.float32)
+    idx = jnp.asarray(np.sort(rng.integers(0, 12, 40)).astype(np.int32))
+    w = jnp.asarray(rng.standard_normal((40, 5)), dtype=jnp.float32)
+
+    f_sorted = lambda t: jnp.sum(jnp.sin(take_rows_sorted(t, idx)) * w)
+    f_plain = lambda t: jnp.sum(jnp.sin(t[idx]) * w)
+    assert float(f_sorted(table)) == float(f_plain(table))
+    g1, g2 = jax.grad(f_sorted)(table), jax.grad(f_plain)(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=0, atol=0)
+    h1 = jax.grad(lambda t: jnp.sum(jax.grad(f_sorted)(t) ** 2))(table)
+    h2 = jax.grad(lambda t: jnp.sum(jax.grad(f_plain)(t) ** 2))(table)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=0, atol=0)
