@@ -41,14 +41,26 @@ _I0 = np.int32(0)
 
 HALO = 5          # stencil extent - 1 (order-6 spline touches 6 points/axis)
 _YW = 16          # aligned window extent in the sublane (y) dimension
-_ZW = 256         # aligned window extent in the lane (z) dimension
+_ZW = 256          # aligned window extent in the lane (z) dimension
+
+# static bucket capacity = CAP_FACTOR x the mean occupancy (+32). The window
+# take that feeds the kernels moves nb*cap rows, i.e. CAP_FACTOR x the atom
+# table — the dominant forward-spread traffic at 98k — while liquid-density
+# slabs of thousands of atoms fluctuate only a few percent around the mean
+# (overflow falls back to the XLA scatter, so a tight cap costs correctness
+# nothing). Probed at 98k/K=256 (examples/spreadcap_98k_tpu.out).
+CAP_FACTOR = 2.5
+
+
+def _bucket_cap(n: int, nb: int) -> int:
+    return min(n, int(np.ceil(n / nb * CAP_FACTOR)) + 32)
 
 
 def pallas_spread_available() -> bool:
     return _PALLAS_OK
 
 
-def _bucket_sort(bid, nb: int, cap: int):
+def _bucket_sort(bid, nb: int, cap: int, presorted: bool = False):
     """Sorted bucket membership for the block kernels.
 
     Returns ``(sort_order, take, counts, overflow)``: the bucket-sorted
@@ -63,19 +75,32 @@ def _bucket_sort(bid, nb: int, cap: int):
     ``q[sort_order[take]]`` measured SLOWER (111.5 -> 127.7 ms full
     forward) — XLA lowers the iota-strided window take far better than a
     random gather of the same rows.
+
+    ``presorted=True``: the caller guarantees ``bid`` is already
+    non-decreasing (atoms pre-grouped by bucket — see ``presort_order``);
+    the sort is skipped and ``sort_order`` is returned as None. This is the
+    production path: the caller permutes the LIGHT per-atom inputs (u0,
+    alpha, m_u0 — ~16 scalars/atom) once and computes the heavy order^3
+    stencil values directly in sorted order, so the (N, 216)
+    sorted-materialize gather above never exists (it measured ~36 ms of the
+    98k/K=256 forward spread, examples/spreadfwd_98k_tpu.out).
     """
     n = bid.shape[0]
-    bits = max(1, int(np.ceil(np.log2(max(n, 2)))))
-    if (nb << bits) < 2 ** 31:
-        key = jnp.sort(
-            bid.astype(jnp.int32) * np.int32(1 << bits)
-            + jnp.arange(n, dtype=jnp.int32)
-        )
-        sort_order = jnp.bitwise_and(key, np.int32((1 << bits) - 1))
-        sorted_ids = jnp.right_shift(key, np.int32(bits))
-    else:  # pragma: no cover - >2^31 key space (huge N * many buckets)
-        sort_order = jnp.argsort(bid).astype(jnp.int32)
-        sorted_ids = bid[sort_order]
+    if presorted:
+        sort_order = None
+        sorted_ids = bid.astype(jnp.int32)
+    else:
+        bits = max(1, int(np.ceil(np.log2(max(n, 2)))))
+        if (nb << bits) < 2 ** 31:
+            key = jnp.sort(
+                bid.astype(jnp.int32) * np.int32(1 << bits)
+                + jnp.arange(n, dtype=jnp.int32)
+            )
+            sort_order = jnp.bitwise_and(key, np.int32((1 << bits) - 1))
+            sorted_ids = jnp.right_shift(key, np.int32(bits))
+        else:  # pragma: no cover - >2^31 key space (huge N * many buckets)
+            sort_order = jnp.argsort(bid).astype(jnp.int32)
+            sorted_ids = bid[sort_order]
     b_iota = jnp.arange(nb, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_ids, b_iota).astype(jnp.int32)
     ends = jnp.searchsorted(sorted_ids, b_iota + 1).astype(jnp.int32)
@@ -84,6 +109,51 @@ def _bucket_sort(bid, nb: int, cap: int):
     take = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
     take = jnp.minimum(take, n - 1)
     return sort_order, take, counts, overflow
+
+
+def slab_bucket_id(m_u0, grid_shape, n_slabs: int, order: int = 6):
+    """Bucket id of each atom under the 1-D slab decomposition — the exact
+    id `_pallas_spread_impl` computes internally (callers presorting atoms
+    must group by THIS id)."""
+    k1 = int(grid_shape[0])
+    width = -(-k1 // n_slabs)
+    base_x = jnp.mod(m_u0[:, 0] - order // 2, k1).astype(jnp.int32)
+    return base_x // jnp.int32(width)
+
+
+def bucket_id_2d(m_u0, grid_shape, nx: int, ny: int, order: int = 6):
+    """Bucket id under the 2-D (x, y) block decomposition (matches
+    `_pallas_spread2d_impl`)."""
+    k1, k2 = int(grid_shape[0]), int(grid_shape[1])
+    wx, wy = k1 // nx, k2 // ny
+    half = order // 2
+    bx = jnp.mod(m_u0[:, 0] - half, k1).astype(jnp.int32) // jnp.int32(wx)
+    by = jnp.mod(m_u0[:, 1] - half, k2).astype(jnp.int32) // jnp.int32(wy)
+    return bx * jnp.int32(ny) + by
+
+
+def presort_order(bid, nb: int):
+    """Stable permutation grouping atoms by bucket id — identical semantics
+    to `_bucket_sort`'s internal packed-key sort, exposed so callers can
+    permute the light per-atom inputs BEFORE building stencil values and
+    invoke the kernels with ``presorted=True``."""
+    n = bid.shape[0]
+    bits = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    if (nb << bits) < 2 ** 31:
+        key = jnp.sort(
+            bid.astype(jnp.int32) * np.int32(1 << bits)
+            + jnp.arange(n, dtype=jnp.int32)
+        )
+        return jnp.bitwise_and(key, np.int32((1 << bits) - 1))
+    return jnp.argsort(bid).astype(jnp.int32)  # pragma: no cover
+
+
+def _p(arr, sort_order, take):
+    """Windowed rows: ``arr[sort_order][take]`` — or just ``arr[take]`` when
+    the caller presorted (sort_order is None)."""
+    if sort_order is None:
+        return arr[take]
+    return arr[sort_order][take]
 
 
 def _make_spread_kernel(order: int, n_ch: int):
@@ -171,10 +241,12 @@ def _make_spread_kernel(order: int, n_ch: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid_shape", "n_slabs", "interpret", "order")
+    jax.jit,
+    static_argnames=("grid_shape", "n_slabs", "interpret", "order",
+                     "presorted"),
 )
 def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False,
-                        order=6):
+                        order=6, presorted=False):
     """q_points: (N, C, order^3) channel-stacked stencil values. Returns
     ((C, K1, K2, K3) meshes, overflow flag)."""
     k1, k2, k3 = grid_shape
@@ -200,11 +272,13 @@ def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False,
     # static per-slab capacity: 2.5x the mean, bounded by n. Keeping it small
     # matters: Pallas double-buffers VMEM inputs, and the slab accumulator is
     # already several MB. Overflow is reported to the caller.
-    cap = min(n, int(np.ceil(n / n_slabs * 2.5)) + 32)
-    sort_order, take, counts, overflow = _bucket_sort(slab_id, n_slabs, cap)
+    cap = _bucket_cap(n, n_slabs)
+    sort_order, take, counts, overflow = _bucket_sort(
+        slab_id, n_slabs, cap, presorted
+    )
 
     slab_iota = jnp.arange(n_slabs, dtype=jnp.int32)
-    m_b = base[sort_order][take]
+    m_b = _p(base, sort_order, take)
     m_b = m_b.at[..., 0].add(-(slab_iota * width)[:, None])
     # 2-D flat rows for the sorted-materialize + window take: on the 3-D
     # view XLA picked an atom-MINOR layout ({0,2,1}: each atom's 216 values
@@ -213,7 +287,9 @@ def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False,
     # of the whole forward spread). A 2-D (n, features) array gets row-major
     # and the same gathers move contiguous 864 B rows.
     q_flat = q_points.reshape(n, n_ch * order * order * order)
-    q_b = q_flat[sort_order][take].reshape(-1, cap, n_ch * order, order * order)
+    q_b = _p(q_flat, sort_order, take).reshape(
+        -1, cap, n_ch * order, order * order
+    )
 
     out = pl.pallas_call(
         _make_spread_kernel(order, n_ch),
@@ -304,15 +380,18 @@ def _xla_scatter(m_u0, q_points, grid_shape):
     return mesh.at[flat].add(q_points.reshape(-1)).reshape(k1, k2, k3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def spread_blocks(m_u0, q_points, grid_shape, n_slabs=16, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def spread_blocks(m_u0, q_points, grid_shape, n_slabs=16, interpret=False,
+                  presorted=False):
     """Differentiable block spread: Pallas slab kernel forward (with automatic
     fallback to the XLA scatter if a slab bucket overflows), flat-gather
     adjoint. Same contract as the XLA scatter path. ``interpret=True`` runs the
-    kernel in the Pallas interpreter (CPU testing)."""
+    kernel in the Pallas interpreter (CPU testing). ``presorted=True``: the
+    caller already grouped atoms by ``slab_bucket_id`` (see _bucket_sort)."""
     n = q_points.shape[0]
     mesh, overflow = _pallas_spread_impl(
-        m_u0, q_points.reshape(n, 1, 216), grid_shape, n_slabs, interpret
+        m_u0, q_points.reshape(n, 1, 216), grid_shape, n_slabs, interpret,
+        presorted=presorted,
     )
     return jax.lax.cond(
         overflow,
@@ -321,8 +400,13 @@ def spread_blocks(m_u0, q_points, grid_shape, n_slabs=16, interpret=False):
     )
 
 
-def _spread_blocks_fwd(m_u0, q_points, grid_shape, n_slabs=16, interpret=False):
-    return spread_blocks(m_u0, q_points, grid_shape, n_slabs, interpret), m_u0
+def _spread_blocks_fwd(m_u0, q_points, grid_shape, n_slabs=16,
+                       interpret=False, presorted=False):
+    return (
+        spread_blocks(m_u0, q_points, grid_shape, n_slabs, interpret,
+                      presorted),
+        m_u0,
+    )
 
 
 def _flat_stencil_indices(m_u0, grid_shape, order):
@@ -349,7 +433,8 @@ def _flat_gather(m_u0, g_mesh, grid_shape, order):
     )
 
 
-def _spread_blocks_bwd(grid_shape, n_slabs, interpret, m_u0, g_mesh):
+def _spread_blocks_bwd(grid_shape, n_slabs, interpret, presorted, m_u0,
+                       g_mesh):
     # windowed-gather kernel (the XLA flat gather is per-element bound:
     # ~62M elem/s measured — examples/gather_98k_tpu.out), via the
     # DIFFERENTIABLE gather_blocks op (flat-gather fallback on overflow
@@ -358,7 +443,7 @@ def _spread_blocks_bwd(grid_shape, n_slabs, interpret, m_u0, g_mesh):
     # first-class gathers section below)
     n = m_u0.shape[0]
     g_q = gather_blocks(m_u0, g_mesh[None], grid_shape, 6, n_slabs,
-                        interpret)
+                        interpret, presorted)
     return None, g_q.reshape(n, 6, 6, 6)
 
 
@@ -385,15 +470,15 @@ def _xla_scatter_multi(m_u0, q_points, grid_shape, order):
     return mesh.reshape(n_ch, k1, k2, k3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def spread_blocks_multi(m_u0, q_points, grid_shape, order, n_slabs=16,
-                        interpret=False):
+                        interpret=False, presorted=False):
     """Multi-channel differentiable block spread: ``q_points`` is
     (N, C, order^3); returns (C, K1, K2, K3). Pallas slab kernel forward
     (XLA multi-channel scatter fallback on bucket overflow), flat-gather
     adjoint."""
     mesh, overflow = _pallas_spread_impl(
-        m_u0, q_points, grid_shape, n_slabs, interpret, order
+        m_u0, q_points, grid_shape, n_slabs, interpret, order, presorted
     )
     return jax.lax.cond(
         overflow,
@@ -403,16 +488,16 @@ def spread_blocks_multi(m_u0, q_points, grid_shape, order, n_slabs=16,
 
 
 def _spread_blocks_multi_fwd(m_u0, q_points, grid_shape, order, n_slabs=16,
-                             interpret=False):
+                             interpret=False, presorted=False):
     out = spread_blocks_multi(m_u0, q_points, grid_shape, order, n_slabs,
-                              interpret)
+                              interpret, presorted)
     return out, m_u0
 
 
-def _spread_blocks_multi_bwd(grid_shape, order, n_slabs, interpret, m_u0,
-                             g_mesh):
+def _spread_blocks_multi_bwd(grid_shape, order, n_slabs, interpret, presorted,
+                             m_u0, g_mesh):
     return None, gather_blocks(m_u0, g_mesh, grid_shape, order, n_slabs,
-                               interpret)
+                               interpret, presorted)
 
 
 spread_blocks_multi.defvjp(_spread_blocks_multi_fwd, _spread_blocks_multi_bwd)
@@ -460,7 +545,7 @@ def pick_blocks_2d(grid_shape, order: int, n_ch: int, n_atoms: int):
         if wy % 8:
             continue
         acc = vmem_block_bytes((n_ch, wx + order - 1, wy + _YW, k3pad))
-        cap = min(n_atoms, int(np.ceil(n_atoms / (nx * ny) * 2.5)) + 32)
+        cap = _bucket_cap(n_atoms, nx * ny)
         inputs = (vmem_block_bytes((cap, n_ch * order, order * order))
                   + vmem_block_bytes((1, cap, 3)))
         if 2 * acc + 2 * inputs <= 13 * 1024 * 1024 and acc <= 6 * 1024 * 1024:
@@ -469,10 +554,12 @@ def pick_blocks_2d(grid_shape, order: int, n_ch: int, n_atoms: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid_shape", "nx", "ny", "interpret", "order")
+    jax.jit,
+    static_argnames=("grid_shape", "nx", "ny", "interpret", "order",
+                     "presorted"),
 )
 def _pallas_spread2d_impl(m_u0, q_points, grid_shape, nx, ny, interpret=False,
-                          order=6):
+                          order=6, presorted=False):
     """q_points: (N, C, order^3). Returns ((C, K1, K2, K3) meshes, overflow).
 
     Requires K1 % nx == 0 and K2 % ny == 0 (pick_blocks_2d guarantees it).
@@ -496,11 +583,11 @@ def _pallas_spread2d_impl(m_u0, q_points, grid_shape, nx, ny, interpret=False,
     ).astype(jnp.int32)
 
     bid = (base[:, 0] // wx) * ny + base[:, 1] // wy
-    cap = min(n, int(np.ceil(n / nb * 2.5)) + 32)
-    sort_order, take, counts, overflow = _bucket_sort(bid, nb, cap)
+    cap = _bucket_cap(n, nb)
+    sort_order, take, counts, overflow = _bucket_sort(bid, nb, cap, presorted)
 
     b_iota = jnp.arange(nb, dtype=jnp.int32)
-    m_b = base[sort_order][take]
+    m_b = _p(base, sort_order, take)
     m_b = m_b.at[..., 0].add(-((b_iota // ny) * wx)[:, None])
     m_b = m_b.at[..., 1].add(-((b_iota % ny) * wy)[:, None])
     # 2-D flat rows for the sorted-materialize + window take: on the 3-D
@@ -510,7 +597,9 @@ def _pallas_spread2d_impl(m_u0, q_points, grid_shape, nx, ny, interpret=False,
     # of the whole forward spread). A 2-D (n, features) array gets row-major
     # and the same gathers move contiguous 864 B rows.
     q_flat = q_points.reshape(n, n_ch * order * order * order)
-    q_b = q_flat[sort_order][take].reshape(-1, cap, n_ch * order, order * order)
+    q_b = _p(q_flat, sort_order, take).reshape(
+        -1, cap, n_ch * order, order * order
+    )
 
     out = pl.pallas_call(
         _make_spread_kernel(order, n_ch),
@@ -577,14 +666,16 @@ def _pallas_spread2d_impl(m_u0, q_points, grid_shape, nx, ny, interpret=False,
     return mesh, overflow
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def spread_blocks_2d(m_u0, q_points, grid_shape, nx, ny, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def spread_blocks_2d(m_u0, q_points, grid_shape, nx, ny, interpret=False,
+                     presorted=False):
     """Differentiable 2-D blocked spread: single-channel (N, 6, 6, 6) stencil
     values -> (K1, K2, K3) mesh; XLA-scatter fallback on bucket overflow,
     flat-gather adjoint (the same contract as spread_blocks)."""
     n = q_points.shape[0]
     mesh, overflow = _pallas_spread2d_impl(
-        m_u0, q_points.reshape(n, 1, 216), grid_shape, nx, ny, interpret
+        m_u0, q_points.reshape(n, 1, 216), grid_shape, nx, ny, interpret,
+        presorted=presorted,
     )
     return jax.lax.cond(
         overflow,
@@ -593,14 +684,20 @@ def spread_blocks_2d(m_u0, q_points, grid_shape, nx, ny, interpret=False):
     )
 
 
-def _spread_blocks_2d_fwd(m_u0, q_points, grid_shape, nx, ny, interpret=False):
-    return spread_blocks_2d(m_u0, q_points, grid_shape, nx, ny, interpret), m_u0
+def _spread_blocks_2d_fwd(m_u0, q_points, grid_shape, nx, ny, interpret=False,
+                          presorted=False):
+    return (
+        spread_blocks_2d(m_u0, q_points, grid_shape, nx, ny, interpret,
+                         presorted),
+        m_u0,
+    )
 
 
-def _spread_blocks_2d_bwd(grid_shape, nx, ny, interpret, m_u0, g_mesh):
+def _spread_blocks_2d_bwd(grid_shape, nx, ny, interpret, presorted, m_u0,
+                          g_mesh):
     n = m_u0.shape[0]
     g_q = gather_blocks_2d(m_u0, g_mesh[None], grid_shape, 6, nx, ny,
-                           interpret)
+                           interpret, presorted)
     return None, g_q.reshape(n, 6, 6, 6)
 
 
@@ -725,7 +822,7 @@ def _gather_postprocess(out, atom_ix, counts, n, n_ch, order):
 
 
 def _pallas_gather2d_impl(m_u0, g_mesh, grid_shape, nx, ny, interpret=False,
-                          order=6):
+                          order=6, presorted=False):
     """Adjoint of _pallas_spread2d_impl: (C, K1, K2, K3) cotangent ->
     ((N, C, order^3) stencil cotangents, overflow flag). Same bucketing as
     the forward; the overflow flag routes the caller to the flat-gather
@@ -748,20 +845,20 @@ def _pallas_gather2d_impl(m_u0, g_mesh, grid_shape, nx, ny, interpret=False,
         axis=-1,
     ).astype(jnp.int32)
     bid = (base[:, 0] // wx) * ny + base[:, 1] // wy
-    cap = min(n, int(np.ceil(n / nb * 2.5)) + 32)
+    cap = _bucket_cap(n, nb)
     # sub-chunk the atom axis so the (cap_s, C*order, order^2) out block
     # (tile-padded to cap_s x 8 x 128 per channel-row) stays ~2 MB
     cap_s = min(cap, 512)
     s_chunks = -(-cap // cap_s)
     cap_pad = cap_s * s_chunks
-    sort_order, take, counts, _ = _bucket_sort(bid, nb, cap_pad)
+    sort_order, take, counts, _ = _bucket_sort(bid, nb, cap_pad, presorted)
     # the overflow decision must MATCH the forward's (cap, not cap_pad):
     # forward and adjoint lax.cond onto the fallback together or not at all
     overflow = jnp.any(counts > cap)
-    atom_ix = sort_order[take]
+    atom_ix = take if presorted else sort_order[take]
 
     b_iota = jnp.arange(nb, dtype=jnp.int32)
-    m_b = base[sort_order][take]
+    m_b = _p(base, sort_order, take)
     m_b = m_b.at[..., 0].add(-((b_iota // ny) * wx)[:, None])
     m_b = m_b.at[..., 1].add(-((b_iota % ny) * wy)[:, None])
 
@@ -824,7 +921,7 @@ def _pallas_gather2d_impl(m_u0, g_mesh, grid_shape, nx, ny, interpret=False,
 
 
 def _pallas_gather_slabs_impl(m_u0, g_mesh, grid_shape, n_slabs,
-                              interpret=False, order=6):
+                              interpret=False, order=6, presorted=False):
     """Adjoint of _pallas_spread_impl (1-D slab decomposition): same contract
     as _pallas_gather2d_impl."""
     k1, k2, k3 = grid_shape
@@ -845,18 +942,20 @@ def _pallas_gather_slabs_impl(m_u0, g_mesh, grid_shape, n_slabs,
         axis=-1,
     ).astype(jnp.int32)
     slab_id = base[:, 0] // width
-    cap = min(n, int(np.ceil(n / n_slabs * 2.5)) + 32)
+    cap = _bucket_cap(n, n_slabs)
     cap_s = min(cap, 512)
     s_chunks = -(-cap // cap_s)
     cap_pad = cap_s * s_chunks
-    sort_order, take, counts, _ = _bucket_sort(slab_id, n_slabs, cap_pad)
+    sort_order, take, counts, _ = _bucket_sort(
+        slab_id, n_slabs, cap_pad, presorted
+    )
     # the overflow decision must MATCH the forward's (cap, not cap_pad):
     # forward and adjoint lax.cond onto the fallback together or not at all
     overflow = jnp.any(counts > cap)
-    atom_ix = sort_order[take]
+    atom_ix = take if presorted else sort_order[take]
 
     slab_iota = jnp.arange(n_slabs, dtype=jnp.int32)
-    m_b = base[sort_order][take]
+    m_b = _p(base, sort_order, take)
     m_b = m_b.at[..., 0].add(-(slab_iota * width)[:, None])
 
     g_pad = _pad_cotangent(g_mesh, n_slabs * width + halo, order)
@@ -1004,9 +1103,9 @@ def _row_gather_impl(m_u0, g_mesh, grid_shape, order):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def gather_blocks(m_u0, g_mesh, grid_shape, order=6, n_slabs=16,
-                  interpret=False):
+                  interpret=False, presorted=False):
     """Windowed gather (slab decomposition): (C, K1, K2, K3) mesh cotangent
     -> (N, C, order^3) per-atom stencil cotangents, flat-gather fallback on
     bucket overflow. Linear in ``g_mesh``; VJP = spread_blocks_multi.
@@ -1015,7 +1114,7 @@ def gather_blocks(m_u0, g_mesh, grid_shape, order=6, n_slabs=16,
     if _row_gather_eligible(grid_shape):
         return _row_gather_impl(m_u0, g_mesh, grid_shape, order)
     g_k, overflow = _pallas_gather_slabs_impl(
-        m_u0, g_mesh, grid_shape, n_slabs, interpret, order
+        m_u0, g_mesh, grid_shape, n_slabs, interpret, order, presorted
     )
     return jax.lax.cond(
         overflow,
@@ -1025,29 +1124,31 @@ def gather_blocks(m_u0, g_mesh, grid_shape, order=6, n_slabs=16,
 
 
 def _gather_blocks_fwd(m_u0, g_mesh, grid_shape, order=6, n_slabs=16,
-                       interpret=False):
+                       interpret=False, presorted=False):
     return (
-        gather_blocks(m_u0, g_mesh, grid_shape, order, n_slabs, interpret),
+        gather_blocks(m_u0, g_mesh, grid_shape, order, n_slabs, interpret,
+                      presorted),
         m_u0,
     )
 
 
-def _gather_blocks_bwd(grid_shape, order, n_slabs, interpret, m_u0, ct):
+def _gather_blocks_bwd(grid_shape, order, n_slabs, interpret, presorted,
+                       m_u0, ct):
     return None, spread_blocks_multi(
-        m_u0, ct, grid_shape, order, n_slabs, interpret
+        m_u0, ct, grid_shape, order, n_slabs, interpret, presorted
     )
 
 
 gather_blocks.defvjp(_gather_blocks_fwd, _gather_blocks_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def spread_blocks_2d_multi(m_u0, q_points, grid_shape, order=6, nx=8, ny=8,
-                           interpret=False):
+                           interpret=False, presorted=False):
     """Multi-channel 2-D blocked spread: (N, C, order^3) -> (C, K1, K2, K3);
     XLA-scatter fallback on overflow, gather_blocks_2d adjoint."""
     mesh, overflow = _pallas_spread2d_impl(
-        m_u0, q_points, grid_shape, nx, ny, interpret, order
+        m_u0, q_points, grid_shape, nx, ny, interpret, order, presorted
     )
     return jax.lax.cond(
         overflow,
@@ -1057,19 +1158,19 @@ def spread_blocks_2d_multi(m_u0, q_points, grid_shape, order=6, nx=8, ny=8,
 
 
 def _spread_blocks_2d_multi_fwd(m_u0, q_points, grid_shape, order=6, nx=8,
-                                ny=8, interpret=False):
+                                ny=8, interpret=False, presorted=False):
     return (
         spread_blocks_2d_multi(
-            m_u0, q_points, grid_shape, order, nx, ny, interpret
+            m_u0, q_points, grid_shape, order, nx, ny, interpret, presorted
         ),
         m_u0,
     )
 
 
-def _spread_blocks_2d_multi_bwd(grid_shape, order, nx, ny, interpret, m_u0,
-                                g_mesh):
+def _spread_blocks_2d_multi_bwd(grid_shape, order, nx, ny, interpret,
+                                presorted, m_u0, g_mesh):
     return None, gather_blocks_2d(m_u0, g_mesh, grid_shape, order, nx, ny,
-                                  interpret)
+                                  interpret, presorted)
 
 
 spread_blocks_2d_multi.defvjp(
@@ -1077,9 +1178,9 @@ spread_blocks_2d_multi.defvjp(
 )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def gather_blocks_2d(m_u0, g_mesh, grid_shape, order=6, nx=8, ny=8,
-                     interpret=False):
+                     interpret=False, presorted=False):
     """Windowed gather (2-D (x, y) block decomposition): (C, K1, K2, K3)
     mesh cotangent -> (N, C, order^3); flat-gather fallback on overflow.
     Linear in ``g_mesh``; VJP = spread_blocks_2d_multi (so second-order
@@ -1089,7 +1190,7 @@ def gather_blocks_2d(m_u0, g_mesh, grid_shape, order=6, nx=8, ny=8,
     if _row_gather_eligible(grid_shape):
         return _row_gather_impl(m_u0, g_mesh, grid_shape, order)
     g_k, overflow = _pallas_gather2d_impl(
-        m_u0, g_mesh, grid_shape, nx, ny, interpret, order
+        m_u0, g_mesh, grid_shape, nx, ny, interpret, order, presorted
     )
     return jax.lax.cond(
         overflow,
@@ -1099,16 +1200,18 @@ def gather_blocks_2d(m_u0, g_mesh, grid_shape, order=6, nx=8, ny=8,
 
 
 def _gather_blocks_2d_fwd(m_u0, g_mesh, grid_shape, order=6, nx=8, ny=8,
-                          interpret=False):
+                          interpret=False, presorted=False):
     return (
-        gather_blocks_2d(m_u0, g_mesh, grid_shape, order, nx, ny, interpret),
+        gather_blocks_2d(m_u0, g_mesh, grid_shape, order, nx, ny, interpret,
+                         presorted),
         m_u0,
     )
 
 
-def _gather_blocks_2d_bwd(grid_shape, order, nx, ny, interpret, m_u0, ct):
+def _gather_blocks_2d_bwd(grid_shape, order, nx, ny, interpret, presorted,
+                          m_u0, ct):
     return None, spread_blocks_2d_multi(
-        m_u0, ct, grid_shape, order, nx, ny, interpret
+        m_u0, ct, grid_shape, order, nx, ny, interpret, presorted
     )
 
 

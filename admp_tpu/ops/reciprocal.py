@@ -439,42 +439,64 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
         mesh, _ = jax.lax.scan(body, mesh0, (pos_b, q_b))
         return mesh
     work_dtype = mesh_dtype or q_harm.dtype
-    m_u0, u0, alpha = atom_spread_alpha(
-        positions, box, q_harm, grid_shape, lmax, order, precision
-    )
-    q_points = spread_points_separable(u0, alpha, lmax, order)
-    q_points = q_points.astype(work_dtype)
+    n_atoms = positions.shape[0]
 
     n_slabs = 16
     blocks2d = None
     if method == "auto":
         picked = _pallas_spread_slabs(
-            grid_shape, q_points.dtype, order, 1, q_points.shape[0]
+            grid_shape, work_dtype, order, 1, n_atoms
         )
         if picked is not None and order == 6:
             method = "pallas"
             n_slabs = picked
-        elif order == 6 and _pallas_backend_ok(q_points.dtype):
+        elif order == 6 and _pallas_backend_ok(work_dtype):
             # large grids where the 1-D slab accumulator can't fit VMEM
             # (K=320-class): try the 2-D (x, y)-blocked kernel
             from admp_tpu.ops.pallas.spread import pick_blocks_2d
 
-            blocks2d = pick_blocks_2d(
-                grid_shape, order, 1, q_points.shape[0]
-            )
+            blocks2d = pick_blocks_2d(grid_shape, order, 1, n_atoms)
             method = "pallas2d" if blocks2d is not None else "scatter"
         else:
             method = "scatter"
-    if method == "pallas2d":
-        from admp_tpu.ops.pallas.spread import pick_blocks_2d, spread_blocks_2d
+    if method == "pallas2d" and blocks2d is None:
+        from admp_tpu.ops.pallas.spread import pick_blocks_2d
 
-        if blocks2d is None:
-            blocks2d = pick_blocks_2d(grid_shape, order, 1, q_points.shape[0])
+        blocks2d = pick_blocks_2d(grid_shape, order, 1, n_atoms)
         assert blocks2d is not None, (
             f"no 2-D block config fits VMEM for grid {grid_shape}"
         )
+
+    m_u0, u0, alpha = atom_spread_alpha(
+        positions, box, q_harm, grid_shape, lmax, order, precision
+    )
+    if method in ("pallas", "pallas2d"):
+        # presort the LIGHT per-atom arrays by kernel bucket id and build
+        # the heavy (N, order^3) stencil values directly in sorted order —
+        # the kernels then skip their internal sort AND the (N, 216)
+        # sorted-materialize row gather (which measured ~36 ms of the
+        # 98k/K=256 forward spread, examples/spreadfwd_98k_tpu.out)
+        from admp_tpu.ops.pallas import spread as _sp
+
+        if method == "pallas":
+            bid = _sp.slab_bucket_id(m_u0, grid_shape, n_slabs, order)
+            so = _sp.presort_order(bid, n_slabs)
+        else:
+            bid = _sp.bucket_id_2d(
+                m_u0, grid_shape, blocks2d[0], blocks2d[1], order
+            )
+            so = _sp.presort_order(bid, blocks2d[0] * blocks2d[1])
+        m_u0, u0, alpha = m_u0[so], u0[so], alpha[so]
+
+    q_points = spread_points_separable(u0, alpha, lmax, order)
+    q_points = q_points.astype(work_dtype)
+
+    if method == "pallas2d":
+        from admp_tpu.ops.pallas.spread import spread_blocks_2d
+
         return spread_blocks_2d(
-            m_u0, q_points, grid_shape, blocks2d[0], blocks2d[1], interpret
+            m_u0, q_points, grid_shape, blocks2d[0], blocks2d[1], interpret,
+            True,
         )
     if method == "pallas":
         # Pallas slab kernel forward + flat-gather adjoint
@@ -485,7 +507,9 @@ def spread_to_mesh(positions, box, q_harm, grid_shape, lmax: int,
         from admp_tpu.ops.pallas.spread import spread_blocks
 
         assert order == 6, "pallas spread kernel is order-6 only"
-        return spread_blocks(m_u0, q_points, grid_shape, n_slabs, interpret)
+        return spread_blocks(
+            m_u0, q_points, grid_shape, n_slabs, interpret, True
+        )
 
     offsets = jnp.arange(-(order // 2), order // 2)
     idx1 = jnp.mod(m_u0[:, 0:1] + offsets[None, :], k1)  # (N,order)
@@ -521,6 +545,26 @@ def spread_to_mesh_multi(positions, box, coeffs, grid_shape, order: int = 6,
     k1, k2, k3 = grid_shape
     n = positions.shape[0]
     m_u0, u0, _ = mesh_coordinates(positions, box, grid_shape, order)
+
+    if method == "auto":
+        picked = _pallas_spread_slabs(
+            grid_shape, coeffs.dtype, order, coeffs.shape[-1], n
+        )
+        method = "pallas" if picked is not None else "scatter"
+        n_slabs = picked or 16
+    else:
+        n_slabs = 16
+    presorted = False
+    if method == "pallas":
+        # presort the light inputs by slab bucket, build stencil values in
+        # sorted order (see spread_to_mesh)
+        from admp_tpu.ops.pallas import spread as _sp
+
+        bid = _sp.slab_bucket_id(m_u0, grid_shape, n_slabs, order)
+        so = _sp.presort_order(bid, n_slabs)
+        m_u0, u0, coeffs = m_u0[so], u0[so], coeffs[so]
+        presorted = True
+
     if order == 4:
         m = bsplines.spline_values4(u0)  # (N, 4, 3)
     else:
@@ -531,14 +575,6 @@ def spread_to_mesh_multi(positions, box, coeffs, grid_shape, order: int = 6,
     txy = (m[:, :, None, 0] * m[:, None, :, 1]).reshape(n, order * order)
     theta = (txy[:, :, None] * m[:, None, :, 2]).reshape(n, order ** 3)
 
-    if method == "auto":
-        picked = _pallas_spread_slabs(
-            grid_shape, theta.dtype, order, coeffs.shape[-1], n
-        )
-        method = "pallas" if picked is not None else "scatter"
-        n_slabs = picked or 16
-    else:
-        n_slabs = 16
     if method == "pallas":
         # channel-stacked slab kernel: C6/C8/C10 share the stencil geometry,
         # one kernel pass accumulates all channels (ops/pallas/spread.py)
@@ -546,7 +582,7 @@ def spread_to_mesh_multi(positions, box, coeffs, grid_shape, order: int = 6,
 
         q_blocks = theta[:, None, :] * coeffs[:, :, None]  # (N, C, order^3)
         return spread_blocks_multi(
-            m_u0, q_blocks, grid_shape, order, n_slabs, interpret
+            m_u0, q_blocks, grid_shape, order, n_slabs, interpret, presorted
         )
 
     offsets = jnp.arange(-(order // 2), order // 2)
