@@ -48,6 +48,7 @@ import jax.numpy as jnp
 
 from admp_tpu.ops import realspace
 from admp_tpu.ops.harmonics import rotate_harm_components
+from admp_tpu.ops.pallas.vma import out_struct
 from admp_tpu.utils.constants import SQRT_PI
 
 try:  # pragma: no cover - exercised on TPU
@@ -145,13 +146,20 @@ def table_width(lmax: int, lpol: bool = False) -> int:
 
 
 def _wrap_rows(gi_t, gj_t, scal, mask):
-    """Minimum-image wrap on transposed rows — same math as
-    realspace._displacement_from_rows, box/binv as scalars."""
+    """Minimum-image wrap on row TUPLES — same math as
+    realspace._displacement_from_rows, box/binv as scalars.
+
+    ``gi_t``/``gj_t`` are tuples of (1, BC) rows (NOT stacked arrays):
+    tuple indexing keeps slice/pad primitives out of the differentiated
+    region — JAX's pad transpose emits NEGATIVE pads (crops) at second
+    order, which Mosaic cannot lower (the exact-adjoint SCF field takes
+    jax.vjp of a graph containing the bwd kernel, so kernel bodies must
+    be Mosaic-lowerable at arbitrary AD order)."""
     box = scal[1:10]
     binv = scal[10:19]
-    dx = gi_t[0:1] - gj_t[0:1]
-    dy = gi_t[1:2] - gj_t[1:2]
-    dz = gi_t[2:3] - gj_t[2:3]
+    dx = gi_t[0] - gj_t[0]
+    dy = gi_t[1] - gj_t[1]
+    dz = gi_t[2] - gj_t[2]
     sa = dx * binv[0] + dy * binv[3] + dz * binv[6]
     sb = dx * binv[1] + dy * binv[4] + dz * binv[7]
     sc = dx * binv[2] + dy * binv[5] + dz * binv[8]
@@ -172,19 +180,19 @@ def _block_uu_energy(gi_t, gj_t, scl, scal):
     slice (same math as models/pme.pme_real_uu_energy: radial projection,
     no QI frame). Table rows: [x, y, z, u_harm(3), pol, thole]; scl rows:
     [pscale, mask]."""
-    pscale = scl[0:1]
-    mask = scl[1:2] > 0.5
+    pscale = scl[0]
+    mask = scl[1] > 0.5
     kappa = scal[0]
     dx, dy, dz, r, rinv = _wrap_rows(gi_t, gj_t, scal, mask)
     # u in harmonic (z, x, y) order -> cartesian
-    uiz, uix, uiy = gi_t[3:4], gi_t[4:5], gi_t[5:6]
-    ujz, ujx, ujy = gj_t[3:4], gj_t[4:5], gj_t[5:6]
+    uiz, uix, uiy = gi_t[3], gi_t[4], gi_t[5]
+    ujz, ujx, ujy = gj_t[3], gj_t[4], gj_t[5]
     ui_z = (uix * dx + uiy * dy + uiz * dz) * rinv
     uj_z = (ujx * dx + ujy * dy + ujz * dz) * rinv
     ui_dot_uj = uix * ujx + uiy * ujy + uiz * ujz
-    dmp = realspace.pair_damping_width(gi_t[6:7], gj_t[6:7])
+    dmp = realspace.pair_damping_width(gi_t[6], gj_t[6])
     m0, m1 = realspace.induced_uu_coefficients(
-        r, gi_t[7:8], gj_t[7:8], dmp, pscale, kappa,
+        r, gi_t[7], gj_t[7], dmp, pscale, kappa,
         erfc_fn=_erfc_rows, exp_fn=_exp_rows,
     )
     e = (m0 - m1) * uj_z * ui_z + m1 * ui_dot_uj
@@ -196,10 +204,12 @@ def _block_energy(gi_t, gj_t, scl, scal, lmax: int, lpol: bool = False):
     block function the forward kernel, the in-kernel vjp, and the CPU/XLA
     cross-checks all trace.
 
-    gi_t/gj_t: (F, BC) transposed gathered rows [x, y, z, q_harm...] plus,
-    when ``lpol``, [u_harm (3), pol, thole].
-    scl: (>=2, BC) — row 0 mscale, row 1 mask (0/1); row 2 pscale when
-    ``lpol``.
+    gi_t/gj_t: length-F TUPLES of (1, BC) transposed gathered rows
+    [x, y, z, q_harm...] plus, when ``lpol``, [u_harm (3), pol, thole]
+    (tuples, not stacked arrays — see _wrap_rows for the Mosaic AD-order
+    rationale).
+    scl: tuple of (1, BC) rows — row 0 mscale, row 1 mask (0/1); row 2
+    pscale when ``lpol``.
     scal: tuple of _N_SCAL scalars — kappa, box.reshape(9),
     inv3x3(box).reshape(9) (a tuple, not an array: SMEM only supports
     scalar loads, and tuple inputs keep jax.grad per-scalar in the bwd
@@ -207,17 +217,17 @@ def _block_energy(gi_t, gj_t, scl, scal, lmax: int, lpol: bool = False):
     Returns (1, BC) masked pair energies.
     """
     n_h = (lmax + 1) ** 2
-    mscale = scl[0:1]
-    mask = scl[1:2] > 0.5
+    mscale = scl[0]
+    mask = scl[1] > 0.5
     kappa = scal[0]
     box = scal[1:10]
     binv = scal[10:19]
 
     # minimum-image wrap — same math as realspace._displacement_from_rows,
     # box/binv as scalars
-    dx = gi_t[0:1] - gj_t[0:1]
-    dy = gi_t[1:2] - gj_t[1:2]
-    dz = gi_t[2:3] - gj_t[2:3]
+    dx = gi_t[0] - gj_t[0]
+    dy = gi_t[1] - gj_t[1]
+    dz = gi_t[2] - gj_t[2]
     sa = dx * binv[0] + dy * binv[3] + dz * binv[6]
     sb = dx * binv[1] + dy * binv[4] + dz * binv[7]
     sc = dx * binv[2] + dy * binv[5] + dz * binv[8]
@@ -235,7 +245,7 @@ def _block_energy(gi_t, gj_t, scl, scal, lmax: int, lpol: bool = False):
     # quasi-internal frame (same math as ops/realspace.qi_pair_components);
     # the degeneracy seed uses RAW y/z coordinates, as there
     degenerate = jnp.logical_and(
-        gi_t[1:2] == gj_t[1:2], gi_t[2:3] == gj_t[2:3]
+        gi_t[1] == gj_t[1], gi_t[2] == gj_t[2]
     )
     fzx, fzy, fzz = dx * rinv, dy * rinv, dz * rinv
     one = jnp.ones_like(r)
@@ -259,8 +269,8 @@ def _block_energy(gi_t, gj_t, scl, scal, lmax: int, lpol: bool = False):
     fyz = fzx * fxy - fzy * fxx
     frame = (fxx, fxy, fxz, fyx, fyy, fyz, fzx, fzy, fzz)
 
-    q_i = tuple(gi_t[3 + k:4 + k] for k in range(n_h))
-    q_j = tuple(gj_t[3 + k:4 + k] for k in range(n_h))
+    q_i = tuple(gi_t[3 + k] for k in range(n_h))
+    q_j = tuple(gj_t[3 + k] for k in range(n_h))
     qi_i = rotate_harm_components(q_i, frame, lmax)
     qi_j = rotate_harm_components(q_j, frame, lmax)
 
@@ -272,22 +282,18 @@ def _block_energy(gi_t, gj_t, scl, scal, lmax: int, lpol: bool = False):
     e = realspace.pair_energy_perm(qi_i, qi_j, coef, lmax)
 
     if lpol:
-        pscale = scl[2:3]
+        pscale = scl[2]
         base = 3 + n_h
         zero = jnp.zeros_like(r)
         ui = rotate_harm_components(
-            (zero, gi_t[base:base + 1], gi_t[base + 1:base + 2],
-             gi_t[base + 2:base + 3]), frame, 1
+            (zero, gi_t[base], gi_t[base + 1], gi_t[base + 2]), frame, 1
         )[1:]
         uj = rotate_harm_components(
-            (zero, gj_t[base:base + 1], gj_t[base + 1:base + 2],
-             gj_t[base + 2:base + 3]), frame, 1
+            (zero, gj_t[base], gj_t[base + 1], gj_t[base + 2]), frame, 1
         )[1:]
-        dmp = realspace.pair_damping_width(
-            gi_t[base + 3:base + 4], gj_t[base + 3:base + 4]
-        )
+        dmp = realspace.pair_damping_width(gi_t[base + 3], gj_t[base + 3])
         icoef = realspace.induced_coefficients(
-            r, gi_t[base + 4:base + 5], gj_t[base + 4:base + 5], dmp,
+            r, gi_t[base + 4], gj_t[base + 4], dmp,
             pscale, kappa, lmax, erfc_fn=_erfc_rows, exp_fn=_exp_rows,
         )
         e = e + realspace.pair_energy_induced(qi_i, qi_j, ui, uj, icoef,
@@ -306,14 +312,30 @@ def _block_dispatch(kind: str, lmax: int):
     )
 
 
+def _unstack_rows(x, n):
+    """(BC, F) VMEM block -> length-n tuple of (1, BC) rows (transpose +
+    unit-row slices, in the PRIMAL only). Differentiated kernel regions
+    take and return ROW TUPLES so their AD graphs contain no slice/pad
+    primitives — JAX's pad transpose emits negative pads at second order,
+    which Mosaic cannot lower."""
+    x_t = jnp.transpose(x)
+    return tuple(x_t[k:k + 1] for k in range(n))
+
+
+def _restack_rows(rows):
+    """Inverse of _unstack_rows: tuple of (1, BC) -> (BC, F)."""
+    return jnp.transpose(jnp.concatenate(rows, axis=0))
+
+
 def _make_fwd_kernel(lmax: int, f_cols: int, kind: str):
     block_fn = _block_dispatch(kind, lmax)
 
     def kernel(scal_ref, gi_ref, gj_ref, scl_ref, e_ref):
-        gi_t = jnp.transpose(gi_ref[...])[:f_cols]
-        gj_t = jnp.transpose(gj_ref[...])[:f_cols]
+        gi_t = _unstack_rows(gi_ref[...], f_cols)
+        gj_t = _unstack_rows(gj_ref[...], f_cols)
+        scl = tuple(scl_ref[k:k + 1] for k in range(scl_ref.shape[0]))
         scal = tuple(scal_ref[k] for k in range(_N_SCAL))
-        e_ref[...] = block_fn(gi_t, gj_t, scl_ref[...], scal)
+        e_ref[...] = block_fn(gi_t, gj_t, scl, scal)
 
     return kernel
 
@@ -324,19 +346,21 @@ def _make_bwd_kernel(lmax: int, f_cols: int, kind: str):
     def kernel(scal_ref, gi_ref, gj_ref, scl_ref, ct_ref,
                dgi_ref, dgj_ref, dscl_ref, dscal_ref):
         ct = ct_ref[...]
+        n_scl = scl_ref.shape[0]
 
-        def f(gi_blk, gj_blk, scl, scal):
-            gi_t = jnp.transpose(gi_blk)[:f_cols]
-            gj_t = jnp.transpose(gj_blk)[:f_cols]
+        def f(gi_t, gj_t, scl, scal):
             return jnp.sum(block_fn(gi_t, gj_t, scl, scal) * ct)
 
         scal = tuple(scal_ref[k] for k in range(_N_SCAL))
+        gi_t = _unstack_rows(gi_ref[...], f_cols)
+        gj_t = _unstack_rows(gj_ref[...], f_cols)
+        scl = tuple(scl_ref[k:k + 1] for k in range(n_scl))
         dgi, dgj, dscl, dscal = jax.grad(f, argnums=(0, 1, 2, 3))(
-            gi_ref[...], gj_ref[...], scl_ref[...], scal
+            gi_t, gj_t, scl, scal
         )
-        dgi_ref[...] = dgi
-        dgj_ref[...] = dgj
-        dscl_ref[...] = dscl
+        dgi_ref[...] = _restack_rows(dgi)
+        dgj_ref[...] = _restack_rows(dgj)
+        dscl_ref[...] = jnp.concatenate(dscl, axis=0)
         # whole-array SMEM output: each program owns its row
         p = pl.program_id(0)
         for k in range(_N_SCAL):
@@ -405,7 +429,8 @@ def pair_perm_energies(g_i, g_j, scl, scal, lmax, block=1024,
         ],
         out_specs=pl.BlockSpec((1, block), lambda p: (_I0, p),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, c_pad), g_i.dtype),
+        out_shape=out_struct((1, c_pad), g_i.dtype,
+                             scal_p, gi_p, gj_p, scl_p),
         interpret=interpret,
     )(scal_p, gi_p, gj_p, scl_p)
     return e[0, :c]
@@ -432,27 +457,30 @@ def _make_hvp_kernel(lmax: int, f_cols: int, kind: str):
                dgi_ref, dgj_ref, dscl_ref, dct_ref, dscal_ref):
         scal = tuple(scal_ref[k] for k in range(_N_SCAL))
         cscal = tuple(cscal_ref[k] for k in range(_N_SCAL))
-        gi, gj = gi_ref[...], gj_ref[...]
-        scl, ct = scl_ref[...], ct_ref[...]
-        cgi, cgj, cscl = cgi_ref[...], cgj_ref[...], cscl_ref[...]
-
-        def f_vec(gi_blk, gj_blk, scl_blk, scal_t):
-            gi_t = jnp.transpose(gi_blk)[:f_cols]
-            gj_t = jnp.transpose(gj_blk)[:f_cols]
-            return block_fn(gi_t, gj_t, scl_blk, scal_t)
+        n_scl = scl_ref.shape[0]
+        gi = _unstack_rows(gi_ref[...], f_cols)
+        gj = _unstack_rows(gj_ref[...], f_cols)
+        scl = tuple(scl_ref[k:k + 1] for k in range(n_scl))
+        ct = ct_ref[...]
+        cgi = _unstack_rows(cgi_ref[...], f_cols)
+        cgj = _unstack_rows(cgj_ref[...], f_cols)
+        cscl = tuple(cscl_ref[k:k + 1] for k in range(n_scl))
 
         # d_ct = J_f(x) c (B is linear in ct with coefficient J_f)
-        _, d_ct = jax.jvp(f_vec, (gi, gj, scl, scal), (cgi, cgj, cscl, cscal))
+        _, d_ct = jax.jvp(
+            block_fn, (gi, gj, scl, scal), (cgi, cgj, cscl, cscal)
+        )
         dct_ref[...] = d_ct
 
         # d_x = grad_x <grad_x sum(f ct), c>
-        def h(gi_blk, gj_blk, scl_blk, scal_t):
+        def h(gi_t, gj_t, scl_t, scal_t):
             g = jax.grad(
-                lambda a, b, c_, d_: jnp.sum(f_vec(a, b, c_, d_) * ct),
+                lambda a, b, c_, d_: jnp.sum(block_fn(a, b, c_, d_) * ct),
                 argnums=(0, 1, 2, 3),
-            )(gi_blk, gj_blk, scl_blk, scal_t)
-            out = (jnp.sum(g[0] * cgi) + jnp.sum(g[1] * cgj)
-                   + jnp.sum(g[2] * cscl))
+            )(gi_t, gj_t, scl_t, scal_t)
+            out = sum(jnp.sum(a * b) for a, b in zip(g[0], cgi))
+            out = out + sum(jnp.sum(a * b) for a, b in zip(g[1], cgj))
+            out = out + sum(jnp.sum(a * b) for a, b in zip(g[2], cscl))
             for k in range(_N_SCAL):
                 out = out + g[3][k] * cscal[k]
             return out
@@ -460,9 +488,9 @@ def _make_hvp_kernel(lmax: int, f_cols: int, kind: str):
         dgi, dgj, dscl, dscal = jax.grad(h, argnums=(0, 1, 2, 3))(
             gi, gj, scl, scal
         )
-        dgi_ref[...] = dgi
-        dgj_ref[...] = dgj
-        dscl_ref[...] = dscl
+        dgi_ref[...] = _restack_rows(dgi)
+        dgj_ref[...] = _restack_rows(dgj)
+        dscl_ref[...] = jnp.concatenate(dscl, axis=0)
         p = pl.program_id(0)
         for k in range(_N_SCAL):
             dscal_ref[p, k] = dscal[k]
@@ -512,10 +540,14 @@ def _pair_bwd_op(g_i, g_j, scl, scal, ct, lmax, block, interpret, kind,
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((c_pad, f_cols), g_i.dtype),
-            jax.ShapeDtypeStruct((c_pad, f_cols), g_i.dtype),
-            jax.ShapeDtypeStruct((8, c_pad), g_i.dtype),
-            jax.ShapeDtypeStruct((n_prog, _N_SCAL), g_i.dtype),
+            out_struct((c_pad, f_cols), g_i.dtype,
+                       scal_p, gi_p, gj_p, scl_p, ct_p),
+            out_struct((c_pad, f_cols), g_i.dtype,
+                       scal_p, gi_p, gj_p, scl_p, ct_p),
+            out_struct((8, c_pad), g_i.dtype,
+                       scal_p, gi_p, gj_p, scl_p, ct_p),
+            out_struct((n_prog, _N_SCAL), g_i.dtype,
+                       scal_p, gi_p, gj_p, scl_p, ct_p),
         ],
         interpret=interpret,
     )(scal_p, gi_p, gj_p, scl_p, ct_p)
@@ -584,11 +616,16 @@ def _pair_bwd_op_bwd(lmax, block, interpret, kind, n_scl_rows, res, cts):
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((c_pad, f_cols), dtype),
-            jax.ShapeDtypeStruct((c_pad, f_cols), dtype),
-            jax.ShapeDtypeStruct((8, c_pad), dtype),
-            jax.ShapeDtypeStruct((1, c_pad), dtype),
-            jax.ShapeDtypeStruct((n_prog, _N_SCAL), dtype),
+            out_struct((c_pad, f_cols), dtype, gi_p, gj_p, scl_p, ct_p,
+                       cgi_p, cgj_p, cscl_p, scal_p, cscal_p),
+            out_struct((c_pad, f_cols), dtype, gi_p, gj_p, scl_p, ct_p,
+                       cgi_p, cgj_p, cscl_p, scal_p, cscal_p),
+            out_struct((8, c_pad), dtype, gi_p, gj_p, scl_p, ct_p,
+                       cgi_p, cgj_p, cscl_p, scal_p, cscal_p),
+            out_struct((1, c_pad), dtype, gi_p, gj_p, scl_p, ct_p,
+                       cgi_p, cgj_p, cscl_p, scal_p, cscal_p),
+            out_struct((n_prog, _N_SCAL), dtype, gi_p, gj_p, scl_p, ct_p,
+                       cgi_p, cgj_p, cscl_p, scal_p, cscal_p),
         ],
         interpret=interpret,
     )(scal_p, cscal_p, gi_p, gj_p, scl_p, ct_p, cgi_p, cgj_p, cscl_p)

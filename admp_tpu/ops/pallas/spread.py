@@ -26,6 +26,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from admp_tpu.ops.pallas.vma import out_struct
+
 try:  # pragma: no cover - exercised on TPU
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -312,8 +314,9 @@ def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False,
             lambda p: (p, _I0, _I0, _I0, _I0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_slabs, n_ch, width + halo, k2pad, k3pad), q_points.dtype
+        out_shape=out_struct(
+            (n_slabs, n_ch, width + halo, k2pad, k3pad), q_points.dtype,
+            counts, m_b, q_b,
         ),
         scratch_shapes=[
             pltpu.VMEM((n_ch * order, _YW, _ZW), q_points.dtype)
@@ -620,8 +623,9 @@ def _pallas_spread2d_impl(m_u0, q_points, grid_shape, nx, ny, interpret=False,
             lambda p: (p, _I0, _I0, _I0, _I0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (nb, n_ch, wx + halo, wy + _YW, k3pad), q_points.dtype
+        out_shape=out_struct(
+            (nb, n_ch, wx + halo, wy + _YW, k3pad), q_points.dtype,
+            counts, m_b, q_b,
         ),
         scratch_shapes=[
             pltpu.VMEM((n_ch * order, _YW, _ZW), q_points.dtype)
@@ -907,8 +911,9 @@ def _pallas_gather2d_impl(m_u0, g_mesh, grid_shape, nx, ny, interpret=False,
             lambda p: (p, _I0, _I0, _I0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_prog, cap_s, n_ch * order, order * order), g_mesh.dtype
+        out_shape=out_struct(
+            (n_prog, cap_s, n_ch * order, order * order), g_mesh.dtype,
+            counts_s, m_bs, blk,
         ),
         interpret=interpret,
     )(counts_s, m_bs, blk)
@@ -994,8 +999,9 @@ def _pallas_gather_slabs_impl(m_u0, g_mesh, grid_shape, n_slabs,
             lambda p: (p, _I0, _I0, _I0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_prog, cap_s, n_ch * order, order * order), g_mesh.dtype
+        out_shape=out_struct(
+            (n_prog, cap_s, n_ch * order, order * order), g_mesh.dtype,
+            counts_s, m_bs, blk,
         ),
         interpret=interpret,
     )(counts_s, m_bs, blk)

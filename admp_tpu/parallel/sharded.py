@@ -347,9 +347,15 @@ def make_sharded_pme_energy(
         axis_types, axis_indices, covalent_map,
         config=config, static_box=static_box,
     )
+    # check_vma=False on every shard_map here: with vma checking on, JAX
+    # inserts `pvary` ops inside the traced bodies, and Pallas TPU lowering
+    # has no rule for pvary — the Pallas pair/spread kernels the bodies call
+    # would fail to compile (and pallas_call out_shapes would additionally
+    # need explicit vma annotations, see ops/pallas/vma.py).
     return jax.shard_map(
         local,
         mesh=mesh,
+        check_vma=False,
         in_specs=(P(), P(), P(axis_name, None), P(), P()),
         out_specs=P(),
     )
@@ -402,6 +408,7 @@ def make_sharded_pol_energy(
     energy_u = jax.shard_map(
         local,
         mesh=mesh,
+        check_vma=False,
         in_specs=(
             P(), P(), P(axis_name, None), P(), P(), P(), P(), P(), P(),
         ),
@@ -415,6 +422,7 @@ def make_sharded_pol_energy(
     energy_uu = jax.shard_map(
         local_uu,
         mesh=mesh,
+        check_vma=False,
         in_specs=(P(), P(), P(axis_name, None), P(), P(), P(), P()),
         out_specs=P(),
     )
@@ -523,6 +531,7 @@ def make_sharded_disp_energy(
     return jax.shard_map(
         _local,
         mesh=mesh,
+        check_vma=False,
         in_specs=(P(), P(), P(axis_name, None), P(), P()),
         out_specs=P(),
     )
@@ -557,6 +566,7 @@ def make_sharded_pairwise_energy(mesh: Mesh, axis_name: str, kernel,
         fn = jax.shard_map(
             _local,
             mesh=mesh,
+        check_vma=False,
             in_specs=(P(), P(), P(axis_name, None), P()) + (P(),) * n_param,
             out_specs=P(),
         )
@@ -675,6 +685,7 @@ def make_sharded_batch_energy(mesh: Mesh, data_axis: str, model_axis: str, **kw)
     return jax.shard_map(
         _local_batch,
         mesh=mesh,
+        check_vma=False,
         in_specs=(
             P(data_axis, None, None),
             P(),
