@@ -46,12 +46,17 @@ _YW = 16          # aligned window extent in the sublane (y) dimension
 _ZW = 256          # aligned window extent in the lane (z) dimension
 
 # static bucket capacity = CAP_FACTOR x the mean occupancy (+32). The window
-# take that feeds the kernels moves nb*cap rows, i.e. CAP_FACTOR x the atom
-# table — the dominant forward-spread traffic at 98k — while liquid-density
-# slabs of thousands of atoms fluctuate only a few percent around the mean
-# (overflow falls back to the XLA scatter, so a tight cap costs correctness
-# nothing). Probed at 98k/K=256 (examples/spreadcap_98k_tpu.out).
-CAP_FACTOR = 2.5
+# take that feeds the kernels moves nb*cap rows (~88 ns/row measured — far
+# off row-gather bandwidth), i.e. CAP_FACTOR x the atom table is the dominant
+# forward-spread traffic at 98k, while liquid-density buckets fluctuate only
+# ~4% around the mean (occ_max/mean 1.039 at 98k across 256 buckets).
+# Measured ladder at 98k/K=256 (examples/spreadcap_98k_tpu.out):
+# 2.5 / 1.6 / 1.2 -> fwd 58.4 / 49.9 / 46.6 ms, e+g 89.0 / 86.9 / 84.6.
+# The +32 absolute slack covers small-bucket statistics (water_1024's
+# 192-atom slabs fluctuate ~3x more, relatively); overflow falls back to
+# the XLA scatter via lax.cond, so a tight cap costs correctness nothing —
+# heterogeneous densities (interfaces, vacuum gaps) just lose the kernel.
+CAP_FACTOR = 1.25
 
 
 def _bucket_cap(n: int, nb: int) -> int:

@@ -140,8 +140,10 @@ def test_auto_dispatch_block_configs_at_scale():
     # pick_blocks_2d / _pallas_spread_slabs are pure host functions of the
     # shapes; only the backend gate needs bypassing for the slab helper
     assert pick_blocks_2d((320, 320, 320), 6, 1, 98304) is not None
-    # dispersion-style 3-channel order-4 at K=320 does NOT fit
-    assert pick_blocks_2d((320, 320, 320), 4, 3, 98304) is None
+    # dispersion-style 3-channel order-4 at K=320: the CAP_FACTOR=1.25
+    # input block fits where the old 2.5x cap did not (the budget counts
+    # cap-dependent input bytes, so eligibility widens as the cap tightens)
+    assert pick_blocks_2d((320, 320, 320), 4, 3, 98304) is not None
     # K=128/3072 fits the 1-D slab budget including the atom input block
     # (bypass the backend gate to exercise the arithmetic on CPU)
     import admp_tpu.ops.reciprocal as R
