@@ -814,13 +814,23 @@ class ADMPPmeForce:
         div = max(int(scf.matvec_grid_div), 1)
 
         def _reduce_k(k, keep_aligned=False):
+            if div == 1:
+                # documented contract: div=1 = the engine's full-accuracy
+                # mesh, EXACTLY — the sharded solver (parallel/sharded.py
+                # make_sharded_pol_energy) builds its matvec on the engine
+                # grid, and the two paths must converge to the same fixed
+                # point (tests/test_sharding.py polarizable equivalence).
+                # The old max(..., 32) floor silently INFLATED small test
+                # grids (16^3 -> 32^3), changing the operator.
+                return k
             if keep_aligned and k % 128 == 0:
                 # lane-aligned rows (K3 % 128 == 0) ride the row-gather
                 # spread adjoint (ops/pallas/spread._row_gather_impl);
                 # halving below 128 would forfeit it for a minor FLOP saving
                 return k
             kd = max(-(-k // div), 32)
-            return kd + (kd % 2)  # keep even (Pallas/rfft-friendly)
+            kd = kd + (kd % 2)  # keep even (Pallas/rfft-friendly)
+            return min(kd, k)  # a "reduced" mesh must never exceed the engine's
 
         mv_grid = (
             _reduce_k(self.K1), _reduce_k(self.K2),
