@@ -44,6 +44,9 @@ _I0 = np.int32(0)
 HALO = 5          # stencil extent - 1 (order-6 spline touches 6 points/axis)
 _YW = 16          # aligned window extent in the sublane (y) dimension
 _ZW = 256          # aligned window extent in the lane (z) dimension
+_QLW = 128        # stencil-table lane width: order^2 columns padded to one
+                  # full lane tile so the in-kernel HBM->VMEM DMA is
+                  # tile-aligned (Mosaic rejects a 36-lane trailing dim)
 
 # static bucket capacity = CAP_FACTOR x the mean occupancy (+32). The window
 # take that feeds the kernels moves nb*cap rows (~88 ns/row measured — far
@@ -70,10 +73,12 @@ def pallas_spread_available() -> bool:
 def _bucket_sort(bid, nb: int, cap: int, presorted: bool = False):
     """Sorted bucket membership for the block kernels.
 
-    Returns ``(sort_order, take, counts, overflow)``: the bucket-sorted
-    permutation, the (nb, cap) CONTIGUOUS window-take into sorted order
-    (slots past a bucket's count alias the next bucket's atoms — callers
-    mask by ``counts``), per-bucket occupancy, and the overflow flag.
+    Returns ``(sort_order, starts, take, counts, overflow)``: the
+    bucket-sorted permutation, each bucket's first row in sorted order
+    (the in-kernel DMA window base), the (nb, cap) CONTIGUOUS window-take
+    into sorted order (slots past a bucket's count alias the next bucket's
+    atoms — callers mask by ``counts``), per-bucket occupancy, and the
+    overflow flag.
 
     Perf notes (98k/K=256 measurements): a single packed-key sort (bucket
     id in the high bits, atom index low) replaces the two-operand argsort.
@@ -115,7 +120,7 @@ def _bucket_sort(bid, nb: int, cap: int, presorted: bool = False):
     overflow = jnp.any(counts > cap)
     take = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
     take = jnp.minimum(take, n - 1)
-    return sort_order, take, counts, overflow
+    return sort_order, starts, take, counts, overflow
 
 
 def slab_bucket_id(m_u0, grid_shape, n_slabs: int, order: int = 6):
@@ -212,7 +217,12 @@ def _make_spread_kernel(order: int, n_ch: int):
                 zb = jax.lax.div(z0, o28) * o28
                 yo = y0 - yb
                 zo = z0 - zb
-                blk = q_ref[0, k]  # (C*order, order^2)
+                # q arrives either as a pipelined (1, cap, R, C) block or as
+                # the (cap, R^, C^) VMEM scratch the DMA variant fills itself
+                # (rows sublane-padded to 8, lanes to 128 — slice the real
+                # C*order rows; extra LANES are harmless, never selected)
+                blk = (q_ref[0, k] if len(q_ref.shape) == 4
+                       else q_ref[k][: n_ch * order])  # (C*order, lanes)
                 # z-combine once per (j, l) — the one-hot selects are shared
                 # by all channels (identical geometry) — staged through a
                 # VMEM scratch at STATIC row j, then y-placed with ONE
@@ -243,6 +253,36 @@ def _make_spread_kernel(order: int, n_ch: int):
             return jnp.asarray(0, jnp.int32)
 
         jax.lax.fori_loop(lo, hi, body, jnp.asarray(0, jnp.int32))
+
+    return kernel
+
+
+def _make_spread_dma_kernel(order: int, n_ch: int, cap: int):
+    """Spread kernel variant that fetches its atom window ITSELF: the heavy
+    (cap, C*order, order^2) stencil block is DMA'd from the full sorted HBM
+    table at a per-bucket dynamic offset, instead of arriving through an XLA
+    window take. At 98k/K=256 the (nb, cap, 216) HBM take measured ~88 ns/row
+    (~36 ms of the 46.6 ms forward spread) — XLA materializes it to HBM and
+    the BlockSpec pipeline reads it back; the in-kernel DMA moves each
+    bucket's CONTIGUOUS ~cap*864 B row range HBM->VMEM exactly once.
+
+    Extra refs vs _make_spread_kernel: ``starts_ref`` (SMEM, per-bucket first
+    sorted row), ``q_hbm_ref`` (ANY/HBM, the full padded sorted table), a
+    (cap, C*order, order^2) VMEM scratch and a DMA semaphore. The caller pads
+    the table by ``cap`` rows so starts[p] + cap never reads out of bounds
+    (rows past counts[p] are ignored by the k < count guard).
+    """
+    inner = _make_spread_kernel(order, n_ch)
+
+    def kernel(counts_ref, starts_ref, m_u0_ref, q_hbm_ref, out_ref,
+               upd_ref, q_scr, sem):
+        p = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            q_hbm_ref.at[pl.ds(starts_ref[p], cap)], q_scr, sem
+        )
+        dma.start()
+        dma.wait()
+        inner(counts_ref, m_u0_ref, q_scr, out_ref, upd_ref)
 
     return kernel
 
@@ -280,26 +320,38 @@ def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False,
     # matters: Pallas double-buffers VMEM inputs, and the slab accumulator is
     # already several MB. Overflow is reported to the caller.
     cap = _bucket_cap(n, n_slabs)
-    sort_order, take, counts, overflow = _bucket_sort(
+    sort_order, starts, take, counts, overflow = _bucket_sort(
         slab_id, n_slabs, cap, presorted
     )
 
     slab_iota = jnp.arange(n_slabs, dtype=jnp.int32)
     m_b = _p(base, sort_order, take)
     m_b = m_b.at[..., 0].add(-(slab_iota * width)[:, None])
-    # 2-D flat rows for the sorted-materialize + window take: on the 3-D
-    # view XLA picked an atom-MINOR layout ({0,2,1}: each atom's 216 values
-    # strided across 216 planes), which turned both gathers into strided
-    # element traffic (fusion profile: 15 + 24 ms/step at 98k/K=256, ~60%
-    # of the whole forward spread). A 2-D (n, features) array gets row-major
-    # and the same gathers move contiguous 864 B rows.
+    # The heavy stencil table goes to the kernel WHOLE (sorted, padded by
+    # cap rows) and each program DMAs its contiguous window itself — see
+    # _make_spread_dma_kernel. 2-D (n, features) staging for the
+    # sorted-materialize (non-presorted callers): on a 3-D view XLA picked
+    # an atom-MINOR layout that turned the gather into strided element
+    # traffic (ROADMAP round 3 continuation 3).
     q_flat = q_points.reshape(n, n_ch * order * order * order)
-    q_b = _p(q_flat, sort_order, take).reshape(
-        -1, cap, n_ch * order, order * order
+    q_sorted = q_flat if sort_order is None else q_flat[sort_order]
+    q_dma = jnp.pad(q_sorted, ((0, cap), (0, 0))).reshape(
+        n + cap, n_ch * order, order * order
+    )
+    # Mosaic rejects HBM->VMEM copies whose trailing dims are not
+    # (8, 128)-tile aligned: pad the stencil columns to one full lane tile
+    # and the channel-stacked rows to the sublane tile. The VMEM scratch
+    # already tile-pads (R, 36) -> (R^, 128) per atom, so this costs no
+    # extra VMEM — only dense HBM bytes, still far cheaper than the
+    # measured 88 ns/row strided window take it replaces.
+    rpad = _roundup(n_ch * order, 8)
+    q_dma = jnp.pad(
+        q_dma,
+        ((0, 0), (0, rpad - n_ch * order), (0, _QLW - order * order)),
     )
 
     out = pl.pallas_call(
-        _make_spread_kernel(order, n_ch),
+        _make_spread_dma_kernel(order, n_ch, cap),
         grid=(n_slabs,),
         in_specs=[
             # explicit int32 index map: the synthesized default for a
@@ -307,12 +359,10 @@ def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False,
             # which Mosaic cannot legalize (func.return (i64))
             pl.BlockSpec((n_slabs,), lambda p: (_I0,),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_slabs,), lambda p: (_I0,),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, cap, 3), lambda p: (p, _I0, _I0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, cap, n_ch * order, order * order),
-                lambda p: (p, _I0, _I0, _I0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, n_ch, width + halo, k2pad, k3pad),
@@ -321,13 +371,15 @@ def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False,
         ),
         out_shape=out_struct(
             (n_slabs, n_ch, width + halo, k2pad, k3pad), q_points.dtype,
-            counts, m_b, q_b,
+            counts, m_b, q_dma,
         ),
         scratch_shapes=[
-            pltpu.VMEM((n_ch * order, _YW, _ZW), q_points.dtype)
+            pltpu.VMEM((n_ch * order, _YW, _ZW), q_points.dtype),
+            pltpu.VMEM((cap, rpad, _QLW), q_points.dtype),
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(counts, m_b, q_b)
+    )(counts, starts, m_b, q_dma)
 
     # fold padded slabs back into the periodic (C, K1, K2, K3) meshes
     mesh_pad = jnp.zeros(
@@ -592,36 +644,41 @@ def _pallas_spread2d_impl(m_u0, q_points, grid_shape, nx, ny, interpret=False,
 
     bid = (base[:, 0] // wx) * ny + base[:, 1] // wy
     cap = _bucket_cap(n, nb)
-    sort_order, take, counts, overflow = _bucket_sort(bid, nb, cap, presorted)
+    sort_order, starts, take, counts, overflow = _bucket_sort(
+        bid, nb, cap, presorted
+    )
 
     b_iota = jnp.arange(nb, dtype=jnp.int32)
     m_b = _p(base, sort_order, take)
     m_b = m_b.at[..., 0].add(-((b_iota // ny) * wx)[:, None])
     m_b = m_b.at[..., 1].add(-((b_iota % ny) * wy)[:, None])
-    # 2-D flat rows for the sorted-materialize + window take: on the 3-D
-    # view XLA picked an atom-MINOR layout ({0,2,1}: each atom's 216 values
-    # strided across 216 planes), which turned both gathers into strided
-    # element traffic (fusion profile: 15 + 24 ms/step at 98k/K=256, ~60%
-    # of the whole forward spread). A 2-D (n, features) array gets row-major
-    # and the same gathers move contiguous 864 B rows.
+    # heavy stencil table: whole sorted+padded HBM operand, per-bucket
+    # in-kernel DMA windows (see _make_spread_dma_kernel); 2-D (n, features)
+    # staging for the sorted-materialize of non-presorted callers (3-D views
+    # picked an atom-minor layout — ROADMAP round 3 continuation 3)
     q_flat = q_points.reshape(n, n_ch * order * order * order)
-    q_b = _p(q_flat, sort_order, take).reshape(
-        -1, cap, n_ch * order, order * order
+    q_sorted = q_flat if sort_order is None else q_flat[sort_order]
+    q_dma = jnp.pad(q_sorted, ((0, cap), (0, 0))).reshape(
+        n + cap, n_ch * order, order * order
+    )
+    # (8, 128)-tile padding for the HBM->VMEM copy — see _pallas_spread_impl
+    rpad = _roundup(n_ch * order, 8)
+    q_dma = jnp.pad(
+        q_dma,
+        ((0, 0), (0, rpad - n_ch * order), (0, _QLW - order * order)),
     )
 
     out = pl.pallas_call(
-        _make_spread_kernel(order, n_ch),
+        _make_spread_dma_kernel(order, n_ch, cap),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((nb,), lambda p: (_I0,),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((nb,), lambda p: (_I0,),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, cap, 3), lambda p: (p, _I0, _I0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, cap, n_ch * order, order * order),
-                lambda p: (p, _I0, _I0, _I0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, n_ch, wx + halo, wy + _YW, k3pad),
@@ -630,13 +687,15 @@ def _pallas_spread2d_impl(m_u0, q_points, grid_shape, nx, ny, interpret=False,
         ),
         out_shape=out_struct(
             (nb, n_ch, wx + halo, wy + _YW, k3pad), q_points.dtype,
-            counts, m_b, q_b,
+            counts, m_b, q_dma,
         ),
         scratch_shapes=[
-            pltpu.VMEM((n_ch * order, _YW, _ZW), q_points.dtype)
+            pltpu.VMEM((n_ch * order, _YW, _ZW), q_points.dtype),
+            pltpu.VMEM((cap, rpad, _QLW), q_points.dtype),
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(counts, m_b, q_b)
+    )(counts, starts, m_b, q_dma)
     out = out.reshape(nx, ny, n_ch, wx + halo, wy + _YW, k3pad)
 
     # fold stage 1: merge the y-blocks of each x row (ny slice-adds)
@@ -860,7 +919,7 @@ def _pallas_gather2d_impl(m_u0, g_mesh, grid_shape, nx, ny, interpret=False,
     cap_s = min(cap, 512)
     s_chunks = -(-cap // cap_s)
     cap_pad = cap_s * s_chunks
-    sort_order, take, counts, _ = _bucket_sort(bid, nb, cap_pad, presorted)
+    sort_order, _starts, take, counts, _ = _bucket_sort(bid, nb, cap_pad, presorted)
     # the overflow decision must MATCH the forward's (cap, not cap_pad):
     # forward and adjoint lax.cond onto the fallback together or not at all
     overflow = jnp.any(counts > cap)
@@ -956,7 +1015,7 @@ def _pallas_gather_slabs_impl(m_u0, g_mesh, grid_shape, n_slabs,
     cap_s = min(cap, 512)
     s_chunks = -(-cap // cap_s)
     cap_pad = cap_s * s_chunks
-    sort_order, take, counts, _ = _bucket_sort(
+    sort_order, _starts, take, counts, _ = _bucket_sort(
         slab_id, n_slabs, cap_pad, presorted
     )
     # the overflow decision must MATCH the forward's (cap, not cap_pad):
