@@ -857,8 +857,17 @@ class ADMPPmeForce:
         # computations in the surrounding energy/field graph, so the explicit
         # cache only added un-shared duplicate preparation. The plain
         # quadratic-energy gradient stays.
+        # external_r0: the warm-start residual r0 = -field(u0) is built in
+        # energy_and_aux's OWN jit scope rather than inside the solver's
+        # custom_vjp, so its u-independent subgraphs (local frames, the
+        # local->global multipole rotation, the permanent spline-weight
+        # pipeline) CSE against the identical work in the final energy
+        # evaluation — across the opaque custom_vjp boundary XLA could
+        # never share them (the round-3 split-mesh negative below was
+        # measured under that boundary).
         solver = make_induced_dipole_solver(field_fn, self.scf_config,
-                                            matvec_fn=matvec_fn)
+                                            matvec_fn=matvec_fn,
+                                            external_r0=True)
 
         # NOTE (measured negative result, round 2): computing the solution
         # energy via the quadratic identity E(u*) = E0 + field0.u* + u*.Au*/2
@@ -875,7 +884,16 @@ class ADMPPmeForce:
                 pol=pol, tholes=tholes, mScales=mScales, pScales=pScales,
                 dScales=dScales,
             )
-            u_star, (converged, n_iter) = solver(inputs, U_init, pol)
+            u0 = jax.lax.stop_gradient(U_init)
+            r0 = -field_fn(u0, inputs)
+            if not self.scf_config.exact_adjoint:
+                # FH mode: the solve contributes no gradient, but the solver
+                # bwd's CONCRETE zero r0-cotangent would still drag a full
+                # field-VJP graph behind -field_fn(u0) (XLA cannot fold
+                # zeros through FFTs/scatters) — measured as a ~2x pol-bench
+                # regression (18.3 -> 38.2 ms). Cut the path explicitly.
+                r0 = jax.lax.stop_gradient(r0)
+            u_star, (converged, n_iter) = solver(inputs, U_init, pol, r0)
             energy = energy_fn(
                 positions, box, pairs, Q_local, u_star, pol, tholes,
                 mScales, pScales, dScales,

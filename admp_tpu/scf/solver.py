@@ -130,8 +130,89 @@ def _jacobi(matvec, b, damping, x0, max_iter, tol_field, site_mask):
     return x, jnp.max(jnp.abs(r * site_mask)) < tol_field, n_iter
 
 
+def _adjoint_pcg(matvec, diag, g, config):
+    """Adjoint solve A w = g (A symmetric) at a relative tolerance floored
+    at 40*eps of the working dtype: an f32 PCG cannot reduce the residual
+    below its rounding floor, and an unreachable target (the f64-grade 1e-8
+    default on an f32 TPU pipeline) otherwise burns the full 4*max_iter cap
+    on EVERY force call (measured: 1.12 s/step vs 71 ms at 3 iterations on
+    the 3000-atom bench, examples/pol_ablation_tpu.out). At the floor
+    (~4.8e-6 relative for f32) the adjoint correction — itself O(SCF
+    residual) — keeps far more accuracy than the f32 force pipeline can
+    represent. x0 = 0, so r0 = g exactly — no matvec(0) evaluation. The
+    residual mask is all-ones: cotangents land on zero-pol sites too."""
+    precond = lambda r: r * diag
+    eps = jnp.finfo(jnp.result_type(g)).eps
+    adj_tol = jnp.maximum(config.adjoint_tol, 40.0 * eps)
+    g_scale = jnp.maximum(jnp.max(jnp.abs(g)), 1e-30)
+    ones = jnp.ones_like(g[..., :1])
+    if config.adjoint_fixed_iters is not None:
+        w, _, _ = _pcg_fixed(
+            matvec, g, precond, jnp.zeros_like(g),
+            config.adjoint_fixed_iters, adj_tol * g_scale, ones,
+        )
+    else:
+        w, _, _ = _pcg(
+            matvec, g, precond, jnp.zeros_like(g),
+            4 * config.max_iter, adj_tol * g_scale, ones,
+        )
+    return w
+
+
+def _make_external_r0_solve(_solve_impl, _setup, matvec_fn, config):
+    """The external-r0 variant of the implicit-VJP solve (see
+    make_induced_dipole_solver's ``external_r0``): forward PCG from the
+    caller-supplied r0, adjoint via the matvec's theta-path plus the r0
+    cotangent flowing back into the caller's field graph.
+
+    Math: with u0 = stop_grad(u_init), the solve defines
+    A(theta) (u* - u0) = r0(theta). Differentiating:
+    du* = A^-1 (dr0 - dA (u*-u0)), so for cotangent g with w = A^-1 g:
+    r0_bar = w and theta_bar = -vjp_theta[matvec(u*-u0, theta)](w).
+    Summing r0_bar through the caller's r0 = -field(u0) graph reproduces
+    exactly the classic -vjp_theta[field(u*, theta)](w) (field is affine in
+    u: field(u) = A u - b, r0 = b - A u0).
+
+    Caveat: the identity needs matvec's A(theta) to BE the field's A(theta).
+    With the default exact matvec (SCFConfig matvec_grid_div=1,
+    matvec_spread_order=None) it is, bit-for-bit. A REDUCED matvec under
+    exact_adjoint adds a theta-path error vjp[(A_mv - A)(u*-u0)](w) — small
+    warm-started (u* ~ u0) but O(u*) on a cold start, where the classic
+    field_fn theta-path had none. settings.py already directs fitting
+    workloads to the exact-matvec defaults for this reason."""
+
+    @jax.custom_vjp
+    def solve(inputs, u_init, pol, r0):
+        u, converged, n_iter = _solve_impl(inputs, u_init, pol, r0)
+        return u, (converged, n_iter)
+
+    def solve_fwd(inputs, u_init, pol, r0):
+        out = solve(inputs, u_init, pol, r0)
+        return out, (out[0], jax.lax.stop_gradient(u_init), inputs, pol)
+
+    def solve_bwd(residuals, cotangents):
+        u_star, u0, inputs, pol = residuals
+        g, _ = cotangents
+        if not config.exact_adjoint:
+            return (
+                jax.tree_util.tree_map(jnp.zeros_like, inputs),
+                jnp.zeros_like(u_star),
+                jnp.zeros_like(pol),
+                jnp.zeros_like(u_star),
+            )
+        matvec, _, diag, _ = _setup(inputs, pol)
+        w = _adjoint_pcg(matvec, diag, g, config)
+        delta_u = jax.lax.stop_gradient(u_star - u0)
+        _, vjp_fn = jax.vjp(lambda inp: matvec_fn(delta_u, inp), inputs)
+        (inputs_bar,) = vjp_fn(-w)
+        return inputs_bar, jnp.zeros_like(u_star), jnp.zeros_like(pol), w
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve
+
+
 def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig(),
-                               matvec_fn=None):
+                               matvec_fn=None, external_r0=False):
     """Build a differentiable SCF solver.
 
     Args:
@@ -148,12 +229,24 @@ def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig(),
         its invariants cached outside the loop measured SLOWER — XLA CSE
         already shares those subgraphs with the surrounding energy graph;
         see models/pme.py _build_polarizable for the measured numbers.)
+      external_r0: the caller supplies the initial residual
+        ``r0 = -field(u_init)`` as a fourth argument instead of the solver
+        building it internally. This moves the full field build OUT of the
+        custom_vjp boundary, into the caller's jit scope, where XLA can CSE
+        its u-independent subgraphs (local frames, multipole rotation, the
+        permanent-multipole spread + FFT) against the identical work in the
+        surrounding energy evaluation — the sharing a split inside the
+        opaque custom_vjp can never get. Requires ``matvec_fn`` (the
+        adjoint's theta-path runs through it; equivalence:
+        vjp[r0](w) - vjp_theta[A (u*-u0)](w) == -vjp_theta[field(u*)](w)).
 
     Returns:
-      solve(inputs, u_init, pol) -> (u_star, (converged, n_iter)). Differentiable
-      in ``inputs`` via the implicit adjoint; ``u_init`` and the preconditioner
-      are gradient-free.
+      solve(inputs, u_init, pol[, r0]) -> (u_star, (converged, n_iter)).
+      Differentiable in ``inputs`` (and ``r0``) via the implicit adjoint;
+      ``u_init`` and the preconditioner are gradient-free.
     """
+    if external_r0 and matvec_fn is None:
+        raise ValueError("external_r0 requires matvec_fn")
 
     def _setup(inputs, pol):
         """Matvec + preconditioner pieces shared by forward and adjoint.
@@ -189,7 +282,7 @@ def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig(),
 
         return matvec, inputs_ng, diag, site_mask
 
-    def _solve_impl(inputs, u_init, pol):
+    def _solve_impl(inputs, u_init, pol, r0=None):
         matvec, inputs_ng, diag, site_mask = _setup(inputs, pol)
         u0 = jax.lax.stop_gradient(u_init)
         if config.method == "jacobi":
@@ -200,7 +293,10 @@ def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig(),
             )
         # r0 = b - A u0 = -field(u0): one field build replaces the
         # field(0) + matvec(u0) pair (PCG never references b again)
-        r0 = -field_fn(u0, inputs_ng)
+        if r0 is None:
+            r0 = -field_fn(u0, inputs_ng)
+        else:
+            r0 = jax.lax.stop_gradient(r0)
         precond = lambda r: r * diag
         if config.fixed_iters is not None:
             return _pcg_fixed(
@@ -211,6 +307,9 @@ def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig(),
             matvec, r0, precond, u0, config.max_iter, config.field_tol,
             site_mask,
         )
+
+    if external_r0:
+        return _make_external_r0_solve(_solve_impl, _setup, matvec_fn, config)
 
     @jax.custom_vjp
     def solve(inputs, u_init, pol):
@@ -235,38 +334,8 @@ def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig(),
                 jnp.zeros_like(u_star),
                 jnp.zeros_like(pol),
             )
-        matvec, _, diag, site_mask = _setup(inputs, pol)
-        precond = lambda r: r * diag
-        # adjoint solve A w = g (A symmetric); relative tolerance on the
-        # cotangent. x0 = 0, so r0 = g exactly — no matvec(0) evaluation.
-        # The tolerance is floored at 40*eps of the working dtype: an f32
-        # PCG cannot reduce the residual below its rounding floor, and an
-        # unreachable target (the f64-grade 1e-8 default on an f32 TPU
-        # pipeline) otherwise burns the full 4*max_iter iteration cap on
-        # EVERY force call (measured: 1.12 s/step vs 71 ms at 3 iterations
-        # on the 3000-atom bench, examples/pol_ablation_tpu.out). At the
-        # floor (~4.8e-6 relative for f32) the adjoint correction — itself
-        # O(SCF residual) — keeps far more accuracy than the f32 force
-        # pipeline can represent.
-        eps = jnp.finfo(jnp.result_type(g)).eps
-        adj_tol = jnp.maximum(config.adjoint_tol, 40.0 * eps)
-        g_scale = jnp.maximum(jnp.max(jnp.abs(g)), 1e-30)
-        if config.adjoint_fixed_iters is not None:
-            w, _, _ = _pcg_fixed(
-                matvec, g, precond, jnp.zeros_like(g),
-                config.adjoint_fixed_iters, adj_tol * g_scale,
-                jnp.ones_like(site_mask),
-            )
-        else:
-            w, _, _ = _pcg(
-                matvec,
-                g,
-                precond,
-                jnp.zeros_like(g),
-                4 * config.max_iter,
-                adj_tol * g_scale,
-                jnp.ones_like(site_mask),
-            )
+        matvec, _, diag, _ = _setup(inputs, pol)
+        w = _adjoint_pcg(matvec, diag, g, config)
         # theta_bar = - (d field / d theta)^T w  evaluated at u*
         _, vjp_fn = jax.vjp(lambda inp: field_fn(u_star, inp), inputs)
         (inputs_bar,) = vjp_fn(-w)
