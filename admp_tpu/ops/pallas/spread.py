@@ -48,22 +48,29 @@ _QLW = 128        # stencil-table lane width: order^2 columns padded to one
                   # full lane tile so the in-kernel HBM->VMEM DMA is
                   # tile-aligned (Mosaic rejects a 36-lane trailing dim)
 
-# static bucket capacity = CAP_FACTOR x the mean occupancy (+32). The window
-# take that feeds the kernels moves nb*cap rows (~88 ns/row measured — far
-# off row-gather bandwidth), i.e. CAP_FACTOR x the atom table is the dominant
-# forward-spread traffic at 98k, while liquid-density buckets fluctuate only
-# ~4% around the mean (occ_max/mean 1.039 at 98k across 256 buckets).
-# Measured ladder at 98k/K=256 (examples/spreadcap_98k_tpu.out):
-# 2.5 / 1.6 / 1.2 -> fwd 58.4 / 49.9 / 46.6 ms, e+g 89.0 / 86.9 / 84.6.
-# The +32 absolute slack covers small-bucket statistics (water_1024's
-# 192-atom slabs fluctuate ~3x more, relatively); overflow falls back to
-# the XLA scatter via lax.cond, so a tight cap costs correctness nothing —
-# heterogeneous densities (interfaces, vacuum gaps) just lose the kernel.
+# static bucket capacity = CAP_FACTOR x the mean occupancy plus a
+# CAP_SIGMA*sqrt(mean) statistical margin (+32 absolute). The relative
+# factor is tight — liquid-density buckets of hundreds+ of atoms fluctuate
+# only a few percent (occ_max/mean 1.039 at 98k across 256 buckets;
+# measured cap ladder at 98k/K=256, examples/spreadcap_98k_tpu.out:
+# 2.5 / 1.6 / 1.2 -> fwd 58.4 / 49.9 / 46.6 ms with the window-take feed) —
+# but SMALL means need an absolute sqrt-scale margin: density fluctuations
+# shrink only as 1/sqrt(mean) relatively, and molecular structure aliases
+# against the bucket width far beyond Poisson (the 3000-atom bench box at
+# 16 slabs peaks at 295 vs mean 187.5 — 7.9 Poisson sigmas). A 1.25x-only
+# cap silently sent EVERY bench spread to the scatter fallback via the
+# overflow lax.cond: pol bench 17.3 -> 28.7 ms, caught by commit bisect.
+# Since the in-kernel DMA fetch, cap costs DMA bytes + guarded loop
+# iterations, not window-take traffic — headroom is cheap again.
 CAP_FACTOR = 1.25
+CAP_SIGMA = 8.0
 
 
 def _bucket_cap(n: int, nb: int) -> int:
-    return min(n, int(np.ceil(n / nb * CAP_FACTOR)) + 32)
+    mean = n / nb
+    return min(
+        n, int(np.ceil(mean * CAP_FACTOR + CAP_SIGMA * np.sqrt(mean))) + 32
+    )
 
 
 def pallas_spread_available() -> bool:
@@ -606,9 +613,10 @@ def pick_blocks_2d(grid_shape, order: int, n_ch: int, n_atoms: int):
             continue
         acc = vmem_block_bytes((n_ch, wx + order - 1, wy + _YW, k3pad))
         cap = _bucket_cap(n_atoms, nx * ny)
+        # stencil table: single-buffered manual-DMA scratch; m_b pipelines
         inputs = (vmem_block_bytes((cap, n_ch * order, order * order))
-                  + vmem_block_bytes((1, cap, 3)))
-        if 2 * acc + 2 * inputs <= 13 * 1024 * 1024 and acc <= 6 * 1024 * 1024:
+                  + 2 * vmem_block_bytes((1, cap, 3)))
+        if 2 * acc + inputs <= 13 * 1024 * 1024 and acc <= 6 * 1024 * 1024:
             return nx, ny
     return None
 

@@ -233,7 +233,7 @@ def _pallas_spread_slabs(grid_shape, dtype, order: int, n_ch: int = 1,
         # 26.4 ms vs 13.7 scatter / 10.9 at K=128 — unaligned tiling of the
         # padded slab); even grids (96/128/154) all win
         return None
-    from admp_tpu.ops.pallas.spread import vmem_block_bytes
+    from admp_tpu.ops.pallas.spread import _bucket_cap, vmem_block_bytes
 
     for n_slabs in (16, 32, 64):
         width = -(-k1 // n_slabs)
@@ -243,11 +243,13 @@ def _pallas_spread_slabs(grid_shape, dtype, order: int, n_ch: int = 1,
         if n_atoms is None:
             input_bytes = 0
         else:
-            cap = min(n_atoms, int(np.ceil(n_atoms / n_slabs * 2.5)) + 32)
+            # the stencil table is a single-buffered manual-DMA scratch
+            # (spread.py _make_spread_dma_kernel); only m_b pipelines (x2)
+            cap = _bucket_cap(n_atoms, n_slabs)
             input_bytes = (vmem_block_bytes((cap, n_ch * order,
                                              order * order))
-                           + vmem_block_bytes((1, cap, 3)))
-        if 2 * slab_bytes + 2 * input_bytes <= 13 * 1024 * 1024 and (
+                           + 2 * vmem_block_bytes((1, cap, 3)))
+        if 2 * slab_bytes + input_bytes <= 13 * 1024 * 1024 and (
             slab_bytes <= 6 * 1024 * 1024
         ):
             return n_slabs
