@@ -322,3 +322,49 @@ def test_row_gather_chunked_path_matches():
         got = np.asarray(sp._row_gather_impl(m_u0, g_mesh, grid, 6))
     assert calls, "chunked branch not taken"
     np.testing.assert_array_equal(got, want)
+
+
+def test_bucket_cap_covers_bench_geometries():
+    """Guard against silent overflow -> scatter-fallback at every bench
+    geometry (round-3 bisected regression: a 1.25x-mean-only cap overflowed
+    at 3000 atoms / 16 slabs — max occupancy 295 vs mean 187.5, molecular
+    structure aliasing far beyond Poisson — and the overflow lax.cond sent
+    every spread in the pol bench to the XLA scatter, 17.3 -> 28.7 ms).
+    Occupancies are computed on the REAL bench boxes; any _bucket_cap or
+    CAP_FACTOR change must keep cap >= max occupancy here."""
+    from admp_tpu.ops.pallas import spread as sp
+    from admp_tpu.systems import water_system
+
+    # (system kwargs, grids exercised by bench.py / the 98k drivers)
+    cases = [
+        (dict(n_side=10, spacing=3.104, jitter=0.12, seed=0),
+         [(96, 96, 128), (48, 48, 128)]),          # pol bench + matvec mesh
+        (dict(n_side=8, spacing=3.9, jitter=0.1, seed=0),
+         [(128, 128, 128)]),                       # water_1024-class
+    ]
+    for kwargs, grids in cases:
+        s = water_system(**kwargs)
+        pos = np.asarray(s["positions"])
+        box = np.asarray(s["box"])
+        n = pos.shape[0]
+        frac = (pos @ np.linalg.inv(box)) % 1.0
+        for grid in grids:
+            m_u0 = jnp.asarray(
+                np.floor(frac * np.asarray(grid)).astype(np.int32)
+            )
+            # 16 is the first (and, at these grid sizes, chosen) rung of
+            # reciprocal._pallas_spread_slabs' ladder; deeper rungs (32/64)
+            # only engage for much larger accumulators where means are big
+            # enough that the sqrt margin dominates anyway
+            for nb in (8, 16):
+                bid = np.asarray(sp.slab_bucket_id(m_u0, grid, nb))
+                cap = sp._bucket_cap(n, nb)
+                occ = int(np.bincount(bid, minlength=nb).max())
+                assert occ <= cap, (kwargs, grid, nb, occ, cap)
+            blocks = sp.pick_blocks_2d(grid, 6, 1, n)
+            if blocks is not None:
+                nx, ny = blocks
+                bid = np.asarray(sp.bucket_id_2d(m_u0, grid, nx, ny))
+                cap = sp._bucket_cap(n, nx * ny)
+                occ = int(np.bincount(bid, minlength=nx * ny).max())
+                assert occ <= cap, (kwargs, grid, (nx, ny), occ, cap)
