@@ -65,6 +65,16 @@ _QLW = 128        # stencil-table lane width: order^2 columns padded to one
 CAP_FACTOR = 1.25
 CAP_SIGMA = 8.0
 
+# z-combine strategy inside the spread kernels: 'select' = per-(j, l)
+# one-hot select-FMA passes over (C*order, _ZW) (the round-3 baseline);
+# 'mxu' = one (C*order, order) @ (order, _ZW) dot per y-row against a
+# one-hot z-selector matrix — the one-hot matrix is exact in the MXU's
+# bf16x3 'highest' passes, so results are bitwise-identical. Trace-time
+# switch for A/B measurement (examples/spreadmxu_98k_tpu.py).
+import os as _os
+
+Z_COMBINE = _os.environ.get("ADMP_TPU_SPREAD_ZCOMBINE", "select")
+
 
 def _bucket_cap(n: int, nb: int) -> int:
     mean = n / nb
@@ -241,12 +251,38 @@ def _make_spread_kernel(order: int, n_ch: int):
                 # stacks and transpose(stack-on-leading-axis) hit Mosaic
                 # 'offset mismatch on non-concat dimension' (the latter only
                 # in large fused programs) — the scratch staging is.
-                for j in range(order):
-                    tmp = jnp.zeros((n_ch * order, _ZW), blk.dtype)
-                    for l in range(order):
-                        sel = (z_iota == zo + l).astype(blk.dtype)
-                        tmp = tmp + blk[:, j * order + l][:, None] * sel
-                    upd_ref[:, j, :] = tmp
+                if Z_COMBINE == "mxu":
+                    # one-hot z-selector S[l, z] = [z == zo + l]; the
+                    # per-j combine becomes a (C*order, order) @
+                    # (order, _ZW) dot on the MXU (exact: one-hot times
+                    # f32 under 'highest' bf16x3 passes), replacing
+                    # order^2 VPU select-FMA passes per atom
+                    l_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (order, _ZW), 0
+                    )
+                    zz_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (order, _ZW), 1
+                    )
+                    zsel = (zz_iota == zo + l_iota).astype(blk.dtype)
+                    # HIGHEST (bf16x3 passes) keeps the f32 values exact;
+                    # per-operand precision (selector could ride one bf16
+                    # pass) hits Mosaic 'Per-operand dot precision
+                    # unsupported'
+                    prec = jax.lax.Precision.HIGHEST
+                    for j in range(order):
+                        upd_ref[:, j, :] = jax.lax.dot_general(
+                            blk[:, j * order:(j + 1) * order], zsel,
+                            (((1,), (0,)), ((), ())),
+                            precision=prec,
+                            preferred_element_type=jnp.float32,
+                        )
+                else:
+                    for j in range(order):
+                        tmp = jnp.zeros((n_ch * order, _ZW), blk.dtype)
+                        for l in range(order):
+                            sel = (z_iota == zo + l).astype(blk.dtype)
+                            tmp = tmp + blk[:, j * order + l][:, None] * sel
+                        upd_ref[:, j, :] = tmp
                 upd = pltpu.roll(upd_ref[...], yo, 1)
                 yb = pl.multiple_of(yb, 8)
                 zb = pl.multiple_of(zb, 128)

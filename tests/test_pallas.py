@@ -368,3 +368,27 @@ def test_bucket_cap_covers_bench_geometries():
                 cap = sp._bucket_cap(n, nx * ny)
                 occ = int(np.bincount(bid, minlength=nx * ny).max())
                 assert occ <= cap, (kwargs, grid, (nx, ny), occ, cap)
+
+
+def test_mxu_zcombine_matches_select_interpret(monkeypatch):
+    """The MXU z-combine (one (C*order, order) @ (order, _ZW) dot per y-row
+    against a one-hot z-selector) must reproduce the select-FMA combine
+    exactly — the selector is 0/1 so the dot is error-free."""
+    if not pallas_spread_available():
+        pytest.skip("pallas unavailable")
+    from admp_tpu.ops.pallas import spread as sp
+
+    rng = np.random.default_rng(3)
+    k, n = 32, 400
+    m_u0 = jnp.asarray(rng.integers(0, k, (n, 3)), jnp.int32)
+    q = jnp.asarray(rng.normal(size=(n, 1, 216)).astype(np.float32))
+
+    outs = {}
+    for variant in ("select", "mxu"):
+        monkeypatch.setattr(sp, "Z_COMBINE", variant)
+        # bypass the jit cache: the variant switches at trace time
+        mesh = sp._pallas_spread_impl.__wrapped__(
+            m_u0, q, (k, k, k), 4, interpret=True
+        )[0]
+        outs[variant] = np.asarray(mesh)
+    np.testing.assert_array_equal(outs["select"], outs["mxu"])
