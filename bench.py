@@ -1,7 +1,12 @@
 #!/usr/bin/env python
 """Benchmark: polarizable water energy+force step on the real device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "secondary"}.
+Prints JSON lines {"metric", "value", "unit", "vs_baseline"[, "secondary"]}
+to stdout, flushing the primary metric the moment it is measured and a final
+combined line once the secondary lands — the driver reads the LAST complete
+line, so an interrupted run still delivers the primary. Diagnostics go to
+stderr. A wall-clock budget (ADMP_TPU_BENCH_BUDGET_S, default 420 s) gates
+the secondary workload and arms a force-exit-0 watchdog.
 
 Primary workload (BASELINE.md north star, mirroring the reference's
 examples/water_pol_1024/run_admp.py:134-139): a water_pol_1024-class system —
@@ -26,10 +31,37 @@ for the metric exists.
 """
 
 import json
+import os
 import pathlib
+import sys
+import threading
 import time
 
 import numpy as np
+
+# Wall-clock budget (seconds). The driver runs `python bench.py` under its own
+# timeout; round 3 died to it (BENCH_r03.json rc=124, parsed=null) because the
+# old script printed its single JSON line only after EVERY workload had
+# compiled through the remote-compile tunnel. Contract now:
+#   * the PRIMARY metric is printed (flush=True) the moment it is measured —
+#     the driver reads the tail, last complete line wins;
+#   * the secondary workload only runs if enough budget remains;
+#   * a watchdog force-exits 0 at the budget so whatever lines were flushed
+#     stand instead of an rc=124 with an empty tail.
+BUDGET_S = float(os.environ.get("ADMP_TPU_BENCH_BUDGET_S", "420"))
+_T0 = time.perf_counter()
+
+
+def _elapsed():
+    return time.perf_counter() - _T0
+
+
+def _log(msg):
+    print(f"[bench {_elapsed():7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit(record):
+    print(json.dumps(record), flush=True)
 
 
 def build_pol_workload():
@@ -79,11 +111,6 @@ def build_pol_workload():
     pme.K3 = 128
     pme.refresh_calculators()
 
-    # converge once cold so the timed loop starts from a realistic MD state
-    u0, _, _ = pme.optimize_Uind(
-        positions, box, pairs, q_local, pol, tholes, scales, scales, scales,
-    )
-
     # deterministic small per-step drift (~5e-3 A) so warm-started PCG does
     # its real 0-2 iterations per step instead of trivially re-converging
     rng = np.random.default_rng(1)
@@ -112,7 +139,17 @@ def build_pol_workload():
         )
         return p_out, u_out, es
 
-    return multi_step, (positions, u0), n_inner
+    # The cold SCF solve rides the SAME jit as the timed loop: the warmup
+    # call starts from u=0 (the while_loop PCG converges in ~7 iterations —
+    # no extra compile, unlike the old separate optimize_Uind jit) and its
+    # converged dipoles seed the timed runs with a realistic MD warm state.
+    u0 = jnp.zeros((n, 3), dtype=positions.dtype)
+
+    def warm_state(warm_out):
+        _p_out, u_out, _es = warm_out
+        return (positions, u_out)
+
+    return multi_step, (positions, u0), n_inner, warm_state
 
 
 def build_nonpol_workload():
@@ -229,14 +266,22 @@ def build_nonpol_workload():
         return jax.lax.scan(body, pos, None, length=n_inner)
 
     pos_j = jnp.asarray(positions)
-    return multi_step, (pos_j,), n_inner
+    return multi_step, (pos_j,), n_inner, None
 
 
-def time_workload(step, args, n_inner, n_repeat=5):
+def time_workload(step, args, n_inner, warm_state=None, n_repeat=5):
     import jax
 
+    t0 = time.perf_counter()
     out = step(*args)  # warmup / compile
     jax.block_until_ready(out)
+    dt_warm = time.perf_counter() - t0
+    # Compile-vs-cache diagnostic: a warm persistent XLA cache
+    # (~/.cache/admp_tpu/xla) makes this seconds; a cold cache goes through
+    # the remote-compile tunnel (minutes).
+    _log(f"warmup (compile or cache hit) took {dt_warm:.1f}s")
+    if warm_state is not None:
+        args = warm_state(out)
 
     times = []
     for _ in range(n_repeat):
@@ -265,29 +310,60 @@ def prev_value(metric_prefix):
     return None
 
 
-def main():
-    ms_pol = time_workload(*build_pol_workload())
-    ms_nonpol = time_workload(*build_nonpol_workload())
-
+def _primary_record(ms_pol):
     prev_pol = prev_value("water_pol")
-    prev_nonpol = prev_value("water_1024")
-
-    print(json.dumps({
+    return {
         "metric": "water_pol 3000-atom polarizable PME energy+force step "
                   "(lmax=2 Thole SCF, warm PCG, MD profile FH@0.3; "
                   "vs prev round, no published baseline)",
         "value": round(ms_pol, 3),
         "unit": "ms",
         "vs_baseline": round(prev_pol / ms_pol, 4) if prev_pol else 1.0,
-        "secondary": {
-            "metric": "water_1024 energy+force step (PME lmax=2 + disp PME + TT)",
-            "value": round(ms_nonpol, 3),
-            "unit": "ms",
-            "vs_baseline": (
-                round(prev_nonpol / ms_nonpol, 4) if prev_nonpol else 1.0
-            ),
-        },
-    }))
+    }
+
+
+def main():
+    # Watchdog: at the budget, force-exit 0 — the flushed lines stand.
+    def _watchdog():
+        _log(f"watchdog fired at {BUDGET_S:.0f}s budget; exiting 0 with "
+             "whatever was flushed")
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
+    timer = threading.Timer(max(BUDGET_S - _elapsed() - 5.0, 1.0), _watchdog)
+    timer.daemon = True
+    timer.start()
+
+    _log("building polarizable (primary) workload")
+    ms_pol = time_workload(*build_pol_workload())
+    record = _primary_record(ms_pol)
+    _emit(record)  # primary lands NOW — a later timeout cannot erase it
+    _log(f"primary: {ms_pol:.3f} ms/step")
+
+    # Secondary only if enough budget remains: cold through the compile
+    # tunnel the nonpol workload has taken ~3-4 min; warm-cache it is ~30 s.
+    remaining = BUDGET_S - _elapsed()
+    if remaining < 60.0:
+        _log(f"skipping secondary workload ({remaining:.0f}s of budget left)")
+        return
+    _log("building nonpolarizable water_1024 (secondary) workload")
+    try:
+        ms_nonpol = time_workload(*build_nonpol_workload())
+    except Exception as exc:  # primary already stands; never lose it
+        _log(f"secondary workload failed: {exc!r}")
+        return
+    prev_nonpol = prev_value("water_1024")
+    record["secondary"] = {
+        "metric": "water_1024 energy+force step (PME lmax=2 + disp PME + TT)",
+        "value": round(ms_nonpol, 3),
+        "unit": "ms",
+        "vs_baseline": (
+            round(prev_nonpol / ms_nonpol, 4) if prev_nonpol else 1.0
+        ),
+    }
+    _emit(record)
+    _log(f"secondary: {ms_nonpol:.3f} ms/step")
 
 
 if __name__ == "__main__":
