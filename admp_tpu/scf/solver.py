@@ -67,7 +67,7 @@ def _pcg_fixed(matvec, r0, precond, x0, n_iters, tol_field, site_mask):
         p = z + beta * p
         rz = rz_new
     resid = jnp.max(jnp.abs(r * site_mask))
-    return x, resid < tol_field, jnp.asarray(n_iters, jnp.int32)
+    return x, resid < tol_field, jnp.asarray(n_iters, jnp.int32), r
 
 
 def _pcg(matvec, r0, precond, x0, max_iter, tol_field, site_mask):
@@ -106,7 +106,7 @@ def _pcg(matvec, r0, precond, x0, max_iter, tol_field, site_mask):
         return (x, r, p, rz_new, it + 1)
 
     x, r, _, _, n_iter = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
-    return x, resid_norm(r) < tol_field, n_iter
+    return x, resid_norm(r) < tol_field, n_iter, r
 
 
 def _jacobi(matvec, b, damping, x0, max_iter, tol_field, site_mask):
@@ -127,10 +127,10 @@ def _jacobi(matvec, b, damping, x0, max_iter, tol_field, site_mask):
 
     r0 = b - matvec(x0)
     x, r, n_iter = jax.lax.while_loop(cond, body, (x0, r0, 0))
-    return x, jnp.max(jnp.abs(r * site_mask)) < tol_field, n_iter
+    return x, jnp.max(jnp.abs(r * site_mask)) < tol_field, n_iter, r
 
 
-def _adjoint_pcg(matvec, diag, g, config):
+def _adjoint_pcg(matvec, diag, g, config, x0=None):
     """Adjoint solve A w = g (A symmetric) at a relative tolerance floored
     at 40*eps of the working dtype: an f32 PCG cannot reduce the residual
     below its rounding floor, and an unreachable target (the f64-grade 1e-8
@@ -139,21 +139,28 @@ def _adjoint_pcg(matvec, diag, g, config):
     the 3000-atom bench, examples/pol_ablation_tpu.out). At the floor
     (~4.8e-6 relative for f32) the adjoint correction — itself O(SCF
     residual) — keeps far more accuracy than the f32 force pipeline can
-    represent. x0 = 0, so r0 = g exactly — no matvec(0) evaluation. The
-    residual mask is all-ones: cotangents land on zero-pol sites too."""
+    represent. Default x0 = 0, so r0 = g exactly — no matvec(0) evaluation;
+    a caller-supplied warm start ``x0`` costs one matvec for r0 = g - A x0
+    (see the ``adjoint_warmstart`` pre-solve). The residual mask is
+    all-ones: cotangents land on zero-pol sites too."""
     precond = lambda r: r * diag
     eps = jnp.finfo(jnp.result_type(g)).eps
     adj_tol = jnp.maximum(config.adjoint_tol, 40.0 * eps)
     g_scale = jnp.maximum(jnp.max(jnp.abs(g)), 1e-30)
     ones = jnp.ones_like(g[..., :1])
+    if x0 is None:
+        x0, r0 = jnp.zeros_like(g), g
+    else:
+        x0 = jax.lax.stop_gradient(x0)
+        r0 = g - matvec(x0)
     if config.adjoint_fixed_iters is not None:
-        w, _, _ = _pcg_fixed(
-            matvec, g, precond, jnp.zeros_like(g),
+        w, _, _, _ = _pcg_fixed(
+            matvec, r0, precond, x0,
             config.adjoint_fixed_iters, adj_tol * g_scale, ones,
         )
     else:
-        w, _, _ = _pcg(
-            matvec, g, precond, jnp.zeros_like(g),
+        w, _, _, _ = _pcg(
+            matvec, r0, precond, x0,
             4 * config.max_iter, adj_tol * g_scale, ones,
         )
     return w
@@ -179,19 +186,43 @@ def _make_external_r0_solve(_solve_impl, _setup, matvec_fn, config):
     exact_adjoint adds a theta-path error vjp[(A_mv - A)(u*-u0)](w) — small
     warm-started (u* ~ u0) but O(u*) on a cold start, where the classic
     field_fn theta-path had none. settings.py already directs fitting
-    workloads to the exact-matvec defaults for this reason."""
+    workloads to the exact-matvec defaults for this reason.
+
+    ``config.adjoint_warmstart`` (with ``exact_adjoint``): the solve's fifth
+    argument ``w_init`` and third diagnostic output ``w`` are — the ADJOINT solution carried across MD/fitting
+    steps the way ``u_init`` carries the dipoles. Key identity: for a plain
+    energy+force call the downstream cotangent of u* is
+    g = dE/du|_{u*} = field(u*) = -r_final — MINUS THE FORWARD SOLVE'S OWN
+    FINAL RESIDUAL, available for free. The forward therefore pre-solves
+    A w_pre = -r_final starting from w_init (warm along a trajectory), and
+    the backward only REFINES from x0 = w_pre against the true cotangent g
+    (r0 = g - A w_pre: one matvec plus however many iterations the
+    g-vs-(-r_final) discrepancy — rounding noise, or a non-energy consumer
+    of u* — actually needs). Exactness is untouched: the refinement runs to
+    the same tolerance the cold adjoint solve did; only its starting point
+    changes. Energy-only evaluations never pay: outside a gradient context
+    the pre-solve feeds only the ``w`` output, and callers that drop it let
+    XLA dead-code-eliminate the whole pre-solve."""
 
     @jax.custom_vjp
-    def solve(inputs, u_init, pol, r0):
-        u, converged, n_iter = _solve_impl(inputs, u_init, pol, r0)
-        return u, (converged, n_iter)
+    def solve(inputs, u_init, pol, r0, w_init):
+        u, converged, n_iter, r_final = _solve_impl(inputs, u_init, pol, r0)
+        if config.adjoint_warmstart and config.exact_adjoint:
+            matvec, _, diag, _ = _setup(inputs, pol)
+            g_pre = jax.lax.stop_gradient(-r_final)
+            w = _adjoint_pcg(matvec, diag, g_pre, config, x0=w_init)
+        else:
+            w = jnp.zeros_like(u)
+        return u, (converged, n_iter, w)
 
-    def solve_fwd(inputs, u_init, pol, r0):
-        out = solve(inputs, u_init, pol, r0)
-        return out, (out[0], jax.lax.stop_gradient(u_init), inputs, pol)
+    def solve_fwd(inputs, u_init, pol, r0, w_init):
+        out = solve(inputs, u_init, pol, r0, w_init)
+        u_star, (_conv, _n_iter, w_pre) = out
+        return out, (u_star, jax.lax.stop_gradient(u_init), inputs, pol,
+                     w_pre)
 
     def solve_bwd(residuals, cotangents):
-        u_star, u0, inputs, pol = residuals
+        u_star, u0, inputs, pol, w_pre = residuals
         g, _ = cotangents
         if not config.exact_adjoint:
             return (
@@ -199,13 +230,16 @@ def _make_external_r0_solve(_solve_impl, _setup, matvec_fn, config):
                 jnp.zeros_like(u_star),
                 jnp.zeros_like(pol),
                 jnp.zeros_like(u_star),
+                jnp.zeros_like(u_star),
             )
         matvec, _, diag, _ = _setup(inputs, pol)
-        w = _adjoint_pcg(matvec, diag, g, config)
+        x0 = w_pre if config.adjoint_warmstart else None
+        w = _adjoint_pcg(matvec, diag, g, config, x0=x0)
         delta_u = jax.lax.stop_gradient(u_star - u0)
         _, vjp_fn = jax.vjp(lambda inp: matvec_fn(delta_u, inp), inputs)
         (inputs_bar,) = vjp_fn(-w)
-        return inputs_bar, jnp.zeros_like(u_star), jnp.zeros_like(pol), w
+        return (inputs_bar, jnp.zeros_like(u_star), jnp.zeros_like(pol), w,
+                jnp.zeros_like(u_star))
 
     solve.defvjp(solve_fwd, solve_bwd)
     return solve
@@ -241,9 +275,13 @@ def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig(),
         vjp[r0](w) - vjp_theta[A (u*-u0)](w) == -vjp_theta[field(u*)](w)).
 
     Returns:
-      solve(inputs, u_init, pol[, r0]) -> (u_star, (converged, n_iter)).
-      Differentiable in ``inputs`` (and ``r0``) via the implicit adjoint;
-      ``u_init`` and the preconditioner are gradient-free.
+      solve(inputs, u_init, pol) -> (u_star, (converged, n_iter)), or with
+      ``external_r0``: solve(inputs, u_init, pol, r0, w_init) ->
+      (u_star, (converged, n_iter, w)) where ``w`` is the carried adjoint
+      warm-start state (zeros unless config.adjoint_warmstart with
+      exact_adjoint — see _make_external_r0_solve). Differentiable in
+      ``inputs`` (and ``r0``) via the implicit adjoint; ``u_init``,
+      ``w_init`` and the preconditioner are gradient-free.
     """
     if external_r0 and matvec_fn is None:
         raise ValueError("external_r0 requires matvec_fn")
@@ -313,7 +351,7 @@ def make_induced_dipole_solver(field_fn, config: SCFConfig = SCFConfig(),
 
     @jax.custom_vjp
     def solve(inputs, u_init, pol):
-        u, converged, n_iter = _solve_impl(inputs, u_init, pol)
+        u, converged, n_iter, _r = _solve_impl(inputs, u_init, pol)
         return u, (converged, n_iter)
 
     def solve_fwd(inputs, u_init, pol):

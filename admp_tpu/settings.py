@@ -128,6 +128,17 @@ class SCFConfig:
     # matvec — keep the defaults for tight fitting gradients.
     matvec_spread_order: int | None = None
     matvec_grid_div: int = 1
+    # Warm-started implicit adjoint (exact_adjoint only): the forward solve
+    # PRE-SOLVES the adjoint system A w = -r_final (for a plain energy+force
+    # call the downstream cotangent of u* is exactly the forward solve's
+    # final residual negated — free) starting from a caller-carried w_init,
+    # and the per-force backward pass only REFINES from that w to the same
+    # tolerance a cold solve used — moving the adjoint iterations onto the
+    # warm-startable side of the custom_vjp boundary. Exactness unchanged;
+    # energy-only calls DCE the pre-solve (its only consumer is the carried
+    # ``w`` diagnostic). Carried like U_ind: ADMPPmeForce.W_adj /
+    # the W_init argument of _value_grad_aux.
+    adjoint_warmstart: bool = True
 
     @staticmethod
     def md():
