@@ -479,6 +479,79 @@ def test_halo_spread_memory_scales_as_slab(mesh8):
     assert not offenders, f"full-grid-sized intermediates: {offenders}"
 
 
+def test_halo_spread_pallas_kernel_matches_scatter(mesh8):
+    """The halo-exchange spread's LOCAL scatter routed through the Pallas
+    slab kernel (spread_method='pallas', interpret mode on CPU) must equal
+    the XLA-scatter path on the 8-device mesh — forward slabs and the
+    position/multipole gradients (the kernel's custom-vjp gather adjoint
+    under shard_map). VERDICT r3 item 6."""
+    from jax.sharding import PartitionSpec as P
+    from admp_tpu.parallel.spread import sharded_spread_halo
+    from admp_tpu.systems import water_system
+
+    s = water_system(n_side=3, spacing=3.1, jitter=0.12, seed=13)
+    positions = jnp.asarray(s["positions"], jnp.float32)
+    box = jnp.asarray(s["box"], jnp.float32)
+    n = positions.shape[0]
+    # pad to a multiple of 8 local atoms
+    n_pad = (-n) % 8
+    positions = jnp.concatenate(
+        [positions, positions[:n_pad] + 0.37], axis=0
+    )
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(
+        rng.standard_normal((positions.shape[0], 9)), jnp.float32
+    )
+    grid = (32, 32, 32)
+
+    def make(method, interp):
+        def body(p, b, qq):
+            slab, _ = sharded_spread_halo(
+                p, b, qq, grid, 2, "model", 8,
+                spread_method=method, interpret=interp,
+            )
+            return slab
+
+        # check_vma=False: the interpret-mode discharge of the kernel's
+        # in-kernel DMA mixes vma-carrying operands with vma-free scratch
+        # (the production sharded layer runs check_vma=False throughout)
+        return jax.shard_map(
+            body, mesh=mesh8,
+            in_specs=(P(), P(), P()),
+            out_specs=P("model", None, None),
+            check_vma=False,
+        )
+
+    mesh_scatter = jax.jit(make("scatter", False))(positions, box, q)
+    mesh_pallas = jax.jit(make("pallas", True))(positions, box, q)
+    np.testing.assert_allclose(
+        np.asarray(mesh_pallas), np.asarray(mesh_scatter), atol=1e-6
+    )
+    assert float(jnp.max(jnp.abs(mesh_scatter))) > 0
+
+    # gradient path: the kernel's custom-vjp adjoint must run under
+    # shard_map and match the scatter transpose
+    def loss(method, interp):
+        f = make(method, interp)
+
+        def inner(p, qq):
+            m = f(p, box, qq)
+            return jnp.sum(m * m)
+
+        return jax.grad(inner, argnums=(0, 1))
+
+    gp_s, gq_s = jax.jit(loss("scatter", False))(positions, q)
+    gp_k, gq_k = jax.jit(loss("pallas", True))(positions, q)
+    scale = float(jnp.max(jnp.abs(gq_s))) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(gq_k), np.asarray(gq_s), atol=1e-5 * scale
+    )
+    scale_p = float(jnp.max(jnp.abs(gp_s))) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(gp_k), np.asarray(gp_s), atol=1e-4 * scale_p
+    )
+
+
 def test_sharded_uu_matvec_matches_field_difference(mesh8, sys64):
     """The cheap sharded SCF matvec (u-quadratic energy gradient) must equal
     field(v) - field(0) from the full sharded polarizable energy (round-2
