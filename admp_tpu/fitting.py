@@ -26,25 +26,49 @@ class FitResult:
     steps: int
 
 
+def stack_batch(entries):
+    """Stack same-shape (positions, box, pairs, target_energy, target_forces)
+    entries into ONE batched tuple with a leading configuration axis, the
+    form ``energy_force_loss`` vmaps over — the whole batch then traces the
+    potential exactly once regardless of batch size (a Python list of
+    entries unrolls the graph per entry: recompile per batch size, O(B)
+    trace time)."""
+    return tuple(
+        jnp.stack([jnp.asarray(e[i]) for e in entries]) for i in range(5)
+    )
+
+
 def energy_force_loss(potential_fn, energy_weight=1.0, force_weight=0.1):
     """Standard energy+force matching loss for a differentiable potential.
 
     potential_fn(positions, box, pairs, params) -> scalar energy.
-    Batch entries: (positions, box, pairs, target_energy, target_forces).
+
+    ``batch`` is either a STACKED tuple of arrays with a leading
+    configuration axis — (positions (B,N,3), box (B,3,3), pairs (B,P,2),
+    target_energy (B,), target_forces (B,N,3)), see ``stack_batch`` — which
+    evaluates as ONE vmapped graph (the potential traces once for any B), or
+    a legacy list of per-configuration entry tuples (kept for
+    ragged/heterogeneous data; unrolls per entry).
     """
 
-    def loss(params, batch):
-        def one(positions, box, pairs, e_ref, f_ref):
-            energy, de_dpos = jax.value_and_grad(
-                lambda pos: potential_fn(pos, box, pairs, params)
-            )(positions)
-            forces = -de_dpos
-            e_term = (energy - e_ref) ** 2
-            f_term = jnp.mean((forces - f_ref) ** 2)
-            return energy_weight * e_term + force_weight * f_term
+    def one(params, positions, box, pairs, e_ref, f_ref):
+        energy, de_dpos = jax.value_and_grad(
+            lambda pos: potential_fn(pos, box, pairs, params)
+        )(positions)
+        forces = -de_dpos
+        e_term = (energy - e_ref) ** 2
+        f_term = jnp.mean((forces - f_ref) ** 2)
+        return energy_weight * e_term + force_weight * f_term
 
-        losses = [one(*entry) for entry in batch]
-        return jnp.mean(jnp.stack(losses))
+    def loss(params, batch):
+        if isinstance(batch, tuple) and hasattr(batch[0], "ndim"):
+            losses = jax.vmap(
+                lambda *entry: one(params, *entry)
+            )(*batch)
+            return jnp.mean(losses)
+        return jnp.mean(
+            jnp.stack([one(params, *entry) for entry in batch])
+        )
 
     return loss
 

@@ -90,6 +90,60 @@ def test_fitting_loop_reduces_loss(tmp_path):
     assert result.history[-1]["loss"] < 0.2 * result.history[0]["loss"]
 
 
+def test_batched_energy_force_loss_single_trace():
+    """A stacked batch evaluates through ONE vmapped trace of the potential
+    for any batch size (VERDICT r3 item 7: the legacy per-entry Python loop
+    unrolled the graph per configuration — recompile per batch size), and
+    matches the legacy list-of-entries loss numerically."""
+    from admp_tpu.fitting import energy_force_loss, stack_batch
+
+    s, pairs = _setup(seed=24)
+    box = jnp.asarray(s["box"])
+    pos = jnp.asarray(s["positions"])
+    force = ADMPPmeForce(
+        box, s["axis_types"], s["axis_indices"], s["covalent_map"], 3.5, 1e-3, 2
+    )
+    q_true = convert_cart2harm(jnp.asarray(s["q_cart"]), 2)
+
+    trace_count = [0]
+
+    def potential(positions, box_, pairs_, params):
+        trace_count[0] += 1
+        return force.get_energy(positions, box_, pairs_, params["q"], M_SCALES)
+
+    loss_fn = energy_force_loss(potential)
+    params = {"q": q_true * 1.02}
+
+    rng = np.random.default_rng(0)
+    entries = []
+    for b in range(4):
+        p_b = pos + jnp.asarray(rng.normal(0, 0.01, pos.shape))
+        e_b, g_b = jax.value_and_grad(force.get_energy)(
+            p_b, box, pairs, q_true, M_SCALES
+        )
+        entries.append((p_b, box, pairs, e_b, -g_b))
+
+    # one jit trace of the stacked loss touches the potential exactly ONCE
+    stacked = stack_batch(entries)
+    jit_loss = jax.jit(loss_fn)
+    l_stacked = float(jit_loss(params, stacked))
+    assert trace_count[0] == 1, trace_count[0]
+
+    # a different batch size is a new shape (new outer compile) but still a
+    # single potential trace, not one per entry
+    stacked2 = stack_batch(entries[:2])
+    _ = float(jit_loss(params, stacked2))
+    assert trace_count[0] == 2, trace_count[0]
+
+    # numerically identical to the legacy per-entry form
+    l_listed = float(loss_fn(params, entries))
+    np.testing.assert_allclose(l_stacked, l_listed, rtol=1e-10)
+
+    # gradients flow through the stacked form
+    g = jax.grad(lambda p: loss_fn(p, stacked))(params)
+    assert float(jnp.max(jnp.abs(g["q"]))) > 0
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from admp_tpu.checkpoint import restore_checkpoint, save_checkpoint
 
