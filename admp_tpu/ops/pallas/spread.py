@@ -10,9 +10,12 @@ Mosaic cannot lower unaligned sub-tile dynamic read-modify-writes (the last two
 ref dimensions are (8, 128)-tiled), so the per-atom update is done on an
 ALIGNED (6, 16, 256) window: the y/z base indices are rounded down to the tile
 grid and the 6-wide block is placed at its in-window offset with separable
-one-hot select placement (pure VPU; Mosaic's compile helper also crashes on
-dot_general inside fori_loop). Slabs carry halo padding; the periodic wrap is
-folded afterwards with dense XLA adds.
+one-hot select placement — pure VPU work, the measured winner. (An MXU
+z-combine variant — dot_general against a one-hot selector inside the
+fori_loop, which current Mosaic DOES lower — measured decisively slower and
+was removed: 98k/K=256 forward spread 65.3 vs 49.0 ms, 3000-atom/K=128
+13.0 vs 8.9; examples/spreadmxu_98k_tpu.out.) Slabs carry halo padding; the
+periodic wrap is folded afterwards with dense XLA adds.
 
 This is the forward spread; the adjoint (force interpolation) is the
 corresponding block gather, which XLA already executes efficiently.
@@ -65,16 +68,14 @@ _QLW = 128        # stencil-table lane width: order^2 columns padded to one
 CAP_FACTOR = 1.25
 CAP_SIGMA = 8.0
 
-# z-combine strategy inside the spread kernels: 'select' = per-(j, l)
-# one-hot select-FMA passes over (C*order, _ZW) (the round-3 baseline);
-# 'mxu' = one (C*order, order) @ (order, _ZW) dot per y-row against a
-# one-hot z-selector matrix — the one-hot matrix is exact in the MXU's
-# bf16x3 'highest' passes, so results are bitwise-identical. Trace-time
-# switch for A/B measurement (examples/spreadmxu_98k_tpu.py).
-import os as _os
-
-Z_COMBINE = _os.environ.get("ADMP_TPU_SPREAD_ZCOMBINE", "select")
-
+# NOTE (measured NEUTRAL, round 4 — examples/spreadwide_98k_tpu.out): a
+# "wide" z-combine accumulating over l with order-fold fewer, wider
+# (C*order, order_y, _ZW) broadcast-FMAs measured 49.50 vs 49.21 ms on the
+# 98k/K=256 forward spread (and equal at 3000 atoms) — the kernel is NOT
+# bound by combine op-issue count; together with the MXU dot A/B (also
+# negative) this pins the residual forward-spread cost on the windowed
+# read-modify-write + roll structure, which continuation-5 measurements
+# already showed resists both alternatives tried. Branch removed.
 
 def _bucket_cap(n: int, nb: int) -> int:
     mean = n / nb
@@ -198,8 +199,10 @@ def _make_spread_kernel(order: int, n_ch: int):
 
     The order-wide block is placed at its in-window (yo, zo) offset with
     separable one-hot SELECT placement (static j/l unroll, vectorized
-    compares) — pure VPU work. Mosaic's compile helper crashes on
-    dot_general inside fori_loop, so no MXU placement here.
+    compares) — pure VPU work, measured faster than an MXU one-hot-dot
+    z-combine (which lowers fine but lost the A/B on both bench
+    geometries; see the module docstring).
+
     """
 
     def kernel(counts_ref, m_u0_ref, q_ref, out_ref, upd_ref):
@@ -251,38 +254,12 @@ def _make_spread_kernel(order: int, n_ch: int):
                 # stacks and transpose(stack-on-leading-axis) hit Mosaic
                 # 'offset mismatch on non-concat dimension' (the latter only
                 # in large fused programs) — the scratch staging is.
-                if Z_COMBINE == "mxu":
-                    # one-hot z-selector S[l, z] = [z == zo + l]; the
-                    # per-j combine becomes a (C*order, order) @
-                    # (order, _ZW) dot on the MXU (exact: one-hot times
-                    # f32 under 'highest' bf16x3 passes), replacing
-                    # order^2 VPU select-FMA passes per atom
-                    l_iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (order, _ZW), 0
-                    )
-                    zz_iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (order, _ZW), 1
-                    )
-                    zsel = (zz_iota == zo + l_iota).astype(blk.dtype)
-                    # HIGHEST (bf16x3 passes) keeps the f32 values exact;
-                    # per-operand precision (selector could ride one bf16
-                    # pass) hits Mosaic 'Per-operand dot precision
-                    # unsupported'
-                    prec = jax.lax.Precision.HIGHEST
-                    for j in range(order):
-                        upd_ref[:, j, :] = jax.lax.dot_general(
-                            blk[:, j * order:(j + 1) * order], zsel,
-                            (((1,), (0,)), ((), ())),
-                            precision=prec,
-                            preferred_element_type=jnp.float32,
-                        )
-                else:
-                    for j in range(order):
-                        tmp = jnp.zeros((n_ch * order, _ZW), blk.dtype)
-                        for l in range(order):
-                            sel = (z_iota == zo + l).astype(blk.dtype)
-                            tmp = tmp + blk[:, j * order + l][:, None] * sel
-                        upd_ref[:, j, :] = tmp
+                for j in range(order):
+                    tmp = jnp.zeros((n_ch * order, _ZW), blk.dtype)
+                    for l in range(order):
+                        sel = (z_iota == zo + l).astype(blk.dtype)
+                        tmp = tmp + blk[:, j * order + l][:, None] * sel
+                    upd_ref[:, j, :] = tmp
                 upd = pltpu.roll(upd_ref[...], yo, 1)
                 yb = pl.multiple_of(yb, 8)
                 zb = pl.multiple_of(zb, 128)
@@ -1146,6 +1123,16 @@ def _row_gather_eligible(grid_shape) -> bool:
 # engages beyond that scale
 _ROW_GATHER_UNCHUNKED_BYTES = 4 << 30
 _ROW_GATHER_CHUNK_BYTES = 2 << 30
+
+# NOTE (measured NEGATIVE, round 4 — examples/rowmacro_98k_tpu.out): a
+# "macro-row" variant gathering order CONTIGUOUS (dx, y0:y0+order, :) slices
+# per atom from a y-extended mesh (order x fewer row ops for identical
+# bytes, bitwise-equal output) measured 12-20x SLOWER (98k/K=256 spread e+g
+# 86.6 -> 1052 ms; a flat-1-D unaligned-slice form was similar). The TPU
+# gather fast path is strictly ONE trailing row per index — multi-row
+# slice_sizes (vmapped dynamic_slice / lax.gather with (order, K3) slices)
+# fall off it entirely. The per-row ~10-14 ns cost stands as this pass's
+# floor; the variant was removed after the A/B.
 
 
 def _row_gather_impl(m_u0, g_mesh, grid_shape, order):

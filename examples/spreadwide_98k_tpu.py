@@ -1,15 +1,31 @@
 #!/usr/bin/env python
-"""A/B of the spread-kernel z-combine strategy (select vs MXU dot) — CLOSED.
+"""A/B of the spread-kernel z-combine issue shape — CLOSED (NEUTRAL).
 
-Round-4 verdict (both rows in the committed .out): the MXU one-hot-dot
-combine LOSES decisively — 98k/K=256 forward spread 65.3 vs 49.0 ms,
-3000-atom/K=128 13.0 vs 8.9 ms — despite passing the on-device accuracy
-gate. The mxu branch (and its ADMP_TPU_SPREAD_ZCOMBINE trace-time env
-switch, flagged by ADVICE r3) was removed; 'select' is the only and the
-measured-winning combine. This driver still runs and measures the
-production path; appends to examples/spreadmxu_98k_tpu.out.
+Round-4 verdict (committed .out): 98k/K=256 forward spread 49.50 (wide) vs
+49.21 ms (per-(j,l)); equal at 3000 atoms. The kernel is not bound by
+combine op-issue count; the wide branch was removed from
+ops/pallas/spread.py (the driver's WIDE=1 mode now measures the identical
+production path).
+
+Original hypothesis, kept for the record:
+
+The 98k/K=256 forward spread is KERNEL-bound at ~230 ns/atom — roughly one
+VPU op issue per cycle over ~340 issues/atom, of which the per-(j, l)
+z-combine contributes ~2/3 (36 small (C*order, _ZW) passes). Z_COMBINE_WIDE
+accumulates over l with order-fold fewer, wider (C*order, order_y, _ZW)
+broadcast-FMAs ((z, y)-major columns; bitwise-equal —
+tests/test_pallas.py::test_wide_zcombine_matches_perjl_interpret).
+
+The flag is read at trace time, so this driver measures ONE variant per
+process (the jit cache would otherwise serve the stale variant):
+
+    ADMP_TPU_DRIVER_WIDE=0 python examples/spreadwide_98k_tpu.py
+    ADMP_TPU_DRIVER_WIDE=1 python examples/spreadwide_98k_tpu.py
+
+Appends to examples/spreadwide_98k_tpu.out.
 """
 
+import os
 import pathlib
 import sys
 import time
@@ -32,13 +48,16 @@ def main():
     from admp_tpu.ops.pallas import spread as sp
     from admp_tpu.systems import water_system
 
-    lines = [f"variant: {getattr(sp, 'Z_COMBINE', 'select (mxu removed after A/B)')}"]
+    wide = os.environ.get("ADMP_TPU_DRIVER_WIDE", "1") == "1"
+    sp.Z_COMBINE_WIDE = wide
+
+    lines = [f"variant: {'wide' if wide else 'per-(j,l)'}"]
 
     def emit(msg):
         print(msg, flush=True)
         lines.append(str(msg))
 
-    def setup(n_side, grid):
+    def setup(n_side):
         s = water_system(n_side=n_side, spacing=3.104, jitter=0.1, seed=0)
         n = s["positions"].shape[0]
         box = jnp.asarray(s["box"], dtype=jnp.float32)
@@ -79,9 +98,9 @@ def main():
         emit(f"{name:40s} {ms:8.2f} ms/step")
         return ms
 
-    # 3072-class / K=128 (1-D slab kernel): forward
+    # 3072-class / K=128 (1-D slab kernel)
     grid2 = (128, 128, 128)
-    pos2, box2, qg2, drift2, _ = setup(10, grid2)
+    pos2, box2, qg2, drift2, _ = setup(10)
 
     def fwd2(p):
         mesh = R.spread_to_mesh(p, box2, qg2, grid2, 2, method="auto")
@@ -96,22 +115,26 @@ def main():
     scale = float(jnp.max(jnp.abs(mesh_s)))
     diff = float(jnp.max(jnp.abs(mesh_k - mesh_s)))
     emit(f"kernel-vs-scatter max abs diff {diff:.3e} (scale {scale:.3e})")
-    assert diff <= 1e-5 * scale, "MXU spread accuracy gate failed"
+    assert diff <= 1e-5 * scale, "wide spread accuracy gate failed"
 
-    # 98k / K=256 (2-D kernel): forward and e+g
+    # 98k / K=256 (2-D kernel)
     grid = (256, 256, 256)
-    pos, box, qg, drift, n = setup(32, grid)
+    pos, box, qg, drift, n = setup(32)
 
     def fwd(p):
         mesh = R.spread_to_mesh(p, box, qg, grid, 2, method="auto")
         return jnp.sum(mesh) * 1e-6
 
-    def eg(p):
-        return jax.value_and_grad(fwd)(p)[1]
-
     emit(f"98k atoms, grid {grid}")
     timeit("forward spread", fwd, pos, drift)
-    timeit("spread e+g", eg, pos, drift)
+
+    def eg(p):
+        def f(pp):
+            mesh = R.spread_to_mesh(pp, box, qg, grid, 2, method="auto")
+            return jnp.sum(mesh * mesh)  # LIVE cotangent (bench.py rule)
+        return jax.value_and_grad(f)(p)[1]
+
+    timeit("spread e+g (live cotangent)", eg, pos, drift)
 
     with OUT.open("a") as f:
         f.write("\n".join(lines) + "\n\n")

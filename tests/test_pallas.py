@@ -370,10 +370,10 @@ def test_bucket_cap_covers_bench_geometries():
                 assert occ <= cap, (kwargs, grid, (nx, ny), occ, cap)
 
 
-def test_mxu_zcombine_matches_select_interpret(monkeypatch):
-    """The MXU z-combine (one (C*order, order) @ (order, _ZW) dot per y-row
-    against a one-hot z-selector) must reproduce the select-FMA combine
-    exactly — the selector is 0/1 so the dot is error-free."""
+def test_wide_zcombine_matches_perjl_interpret(monkeypatch):
+    """The wide z-combine (one (C*order, order_y, _ZW) broadcast-FMA per l,
+    (z, y)-major columns) must reproduce the per-(j, l) combine exactly —
+    the per-lane summation order over l is unchanged."""
     if not pallas_spread_available():
         pytest.skip("pallas unavailable")
     from admp_tpu.ops.pallas import spread as sp
@@ -384,11 +384,22 @@ def test_mxu_zcombine_matches_select_interpret(monkeypatch):
     q = jnp.asarray(rng.normal(size=(n, 1, 216)).astype(np.float32))
 
     outs = {}
-    for variant in ("select", "mxu"):
-        monkeypatch.setattr(sp, "Z_COMBINE", variant)
+    for wide in (False, True):
+        monkeypatch.setattr(sp, "Z_COMBINE_WIDE", wide)
         # bypass the jit cache: the variant switches at trace time
         mesh = sp._pallas_spread_impl.__wrapped__(
             m_u0, q, (k, k, k), 4, interpret=True
         )[0]
-        outs[variant] = np.asarray(mesh)
-    np.testing.assert_array_equal(outs["select"], outs["mxu"])
+        outs[wide] = np.asarray(mesh)
+    np.testing.assert_array_equal(outs[False], outs[True])
+
+    # multi-channel (dispersion) path through the 2-D impl
+    q3 = jnp.asarray(rng.normal(size=(n, 3, 216)).astype(np.float32))
+    outs = {}
+    for wide in (False, True):
+        monkeypatch.setattr(sp, "Z_COMBINE_WIDE", wide)
+        mesh = sp._pallas_spread2d_impl.__wrapped__(
+            m_u0, q3, (k, k, k), 2, 2, interpret=True
+        )[0]
+        outs[wide] = np.asarray(mesh)
+    np.testing.assert_array_equal(outs[False], outs[True])
