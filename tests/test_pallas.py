@@ -368,38 +368,3 @@ def test_bucket_cap_covers_bench_geometries():
                 cap = sp._bucket_cap(n, nx * ny)
                 occ = int(np.bincount(bid, minlength=nx * ny).max())
                 assert occ <= cap, (kwargs, grid, (nx, ny), occ, cap)
-
-
-def test_wide_zcombine_matches_perjl_interpret(monkeypatch):
-    """The wide z-combine (one (C*order, order_y, _ZW) broadcast-FMA per l,
-    (z, y)-major columns) must reproduce the per-(j, l) combine exactly —
-    the per-lane summation order over l is unchanged."""
-    if not pallas_spread_available():
-        pytest.skip("pallas unavailable")
-    from admp_tpu.ops.pallas import spread as sp
-
-    rng = np.random.default_rng(3)
-    k, n = 32, 400
-    m_u0 = jnp.asarray(rng.integers(0, k, (n, 3)), jnp.int32)
-    q = jnp.asarray(rng.normal(size=(n, 1, 216)).astype(np.float32))
-
-    outs = {}
-    for wide in (False, True):
-        monkeypatch.setattr(sp, "Z_COMBINE_WIDE", wide)
-        # bypass the jit cache: the variant switches at trace time
-        mesh = sp._pallas_spread_impl.__wrapped__(
-            m_u0, q, (k, k, k), 4, interpret=True
-        )[0]
-        outs[wide] = np.asarray(mesh)
-    np.testing.assert_array_equal(outs[False], outs[True])
-
-    # multi-channel (dispersion) path through the 2-D impl
-    q3 = jnp.asarray(rng.normal(size=(n, 3, 216)).astype(np.float32))
-    outs = {}
-    for wide in (False, True):
-        monkeypatch.setattr(sp, "Z_COMBINE_WIDE", wide)
-        mesh = sp._pallas_spread2d_impl.__wrapped__(
-            m_u0, q3, (k, k, k), 2, 2, interpret=True
-        )[0]
-        outs[wide] = np.asarray(mesh)
-    np.testing.assert_array_equal(outs[False], outs[True])
