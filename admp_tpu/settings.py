@@ -133,12 +133,19 @@ class SCFConfig:
     # call the downstream cotangent of u* is exactly the forward solve's
     # final residual negated — free) starting from a caller-carried w_init,
     # and the per-force backward pass only REFINES from that w to the same
-    # tolerance a cold solve used — moving the adjoint iterations onto the
-    # warm-startable side of the custom_vjp boundary. Exactness unchanged;
-    # energy-only calls DCE the pre-solve (its only consumer is the carried
-    # ``w`` diagnostic). Carried like U_ind: ADMPPmeForce.W_adj /
-    # the W_init argument of _value_grad_aux.
-    adjoint_warmstart: bool = True
+    # tolerance a cold solve used. Exactness verified (warmstart-on/off
+    # force rel diff 3.5e-16, CPU f64), but MEASURED NEGATIVE on TPU and
+    # OFF by default: the 3000-atom exact step is 75.2 ms with the carry vs
+    # 64.2 without (examples/pol_ablation_tpu.out, round 4). Two structural
+    # reasons: (a) the adjoint RHS is the forward solve's CONVERGENCE
+    # NOISE, not a smooth trajectory quantity, so the carried w barely
+    # warm-starts the pre-solve; (b) the backward refinement cannot exit
+    # early because the true cotangent g differs from the predicted
+    # -r_final at f32 graph-rounding scale, far above the solve tolerance
+    # floor. Kept as an option for f64 workloads (where (b) vanishes) and
+    # non-energy consumers. Carried like U_ind: ADMPPmeForce.W_adj / the
+    # W_init argument of _value_grad_aux_w.
+    adjoint_warmstart: bool = False
 
     @staticmethod
     def md():

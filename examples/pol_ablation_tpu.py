@@ -120,9 +120,47 @@ def main():
             return (p + drift + 0.0 * f, u), e
         return body
 
+    def body_full_w(pme_v):
+        """Adjoint-carrying step: W_adj threads through the scan carry like
+        U_ind (SCFConfig.adjoint_warmstart — the fwd pre-solves the adjoint
+        system from the carried w, the bwd only refines)."""
+        vga = pme_v._value_grad_aux_w
+
+        def make():
+            def body(carry, _):
+                p, u, w = carry
+                (e, (u_new, _c, _n, w_new)), f = vga(
+                    p, box, pairs, q_local, pol, tholes,
+                    scales, scales, scales, u, w,
+                )
+                # consume f or XLA DCEs the backward pass (see bench.py)
+                return (p + drift + 0.0 * f, u_new, w_new), e
+            return body
+        return make
+
+    w0 = jnp.zeros_like(u0)
+
     timeit("frozen-u e+g (no solve, no adjoint)", make_frozen, (positions, u0))
-    full = timeit("FULL default (while_loop fwd, adj tol 1e-8)",
+    full = timeit("FULL exact, adjoint warmstart OFF (r3 baseline)",
                   body_full(pme), (positions, u0))
+    timeit("FULL exact + carried-w adjoint warmstart",
+           body_full_w(make_pme(SCFConfig(adjoint_warmstart=True))),
+           (positions, u0, w0))
+    # the exact-adjoint fast profile: the adjoint (and forward-PCG) matvecs
+    # run on the order-4, half-resolution dipole mesh — gradient accuracy
+    # already FD-measured in exact mode (df 3.1e-8 cold at tol=1e-3, CPU
+    # f64, examples/fh_accuracy_cpu.out); the implicit-adjoint correction is
+    # itself O(SCF residual), so an eps_op-perturbed adjoint operator moves
+    # the correction by eps_op x (already-small term)
+    timeit("FULL exact + matvec order4+gdiv2",
+           body_full(make_pme(SCFConfig(matvec_spread_order=4,
+                                        matvec_grid_div=2))),
+           (positions, u0))
+    timeit("FULL exact + matvec o4+g2 + adj_fixed=3",
+           body_full(make_pme(SCFConfig(matvec_spread_order=4,
+                                        matvec_grid_div=2,
+                                        adjoint_fixed_iters=3))),
+           (positions, u0))
     timeit("FH adjoint (no adjoint solve, no field-VJP)",
            body_full(make_pme(SCFConfig(exact_adjoint=False))),
            (positions, u0))
