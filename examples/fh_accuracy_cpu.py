@@ -54,6 +54,10 @@ def main():
     def emit(msg):
         print(msg, flush=True)
         lines.append(str(msg))
+        # flush progressively: each config costs minutes of f64 CPU compile
+        # and a timeout must not lose the rows already measured (it did
+        # once — round 4)
+        OUT.write_text("\n".join(lines) + "\n")
 
     def forces(scf, u_init=None):
         pme = ADMPPmeForce(
@@ -138,6 +142,38 @@ def main():
         relc = float(np.sqrt(np.mean(dc**2)) / fn)
         emit(f"{str(order):>6s} {gdiv:4d} {n_it:5d} {rel:11.3e} "
              f"{n_cold2:7d} {relc:9.3e}")
+
+    # exact-adjoint FAST profiles (round 4): reduced matvec shared by the
+    # forward PCG and the implicit-adjoint solve, with the adjoint depth cut
+    # by fixed iterations or a loosened relative tolerance. Error analysis:
+    # the adjoint correction is itself O(SCF residual); resolving it to eps
+    # relative leaves eps x (already-small term) — so even eps ~ 1e-3 should
+    # land orders below the f32 floor. Measured here in f64 vs the tight
+    # exact oracle (same warm/cold methodology as above).
+    emit("exact-adjoint fast profiles (warm / cold):")
+    emit(f"{'profile':>28s} {'iters':>5s} {'rel-F-RMSE':>11s} "
+         f"{'cold-it':>7s} {'cold-rel':>9s}")
+    profiles = [
+        ("o4+g2 (adj while, tol 1e-8)",
+         SCFConfig(matvec_spread_order=4, matvec_grid_div=2)),
+        ("o4+g2 + adj_fixed=3",
+         SCFConfig(matvec_spread_order=4, matvec_grid_div=2,
+                   adjoint_fixed_iters=3)),
+        ("o4+g2 + adj_fixed=2",
+         SCFConfig(matvec_spread_order=4, matvec_grid_div=2,
+                   adjoint_fixed_iters=2)),
+        ("o4+g2 + adj_tol=1e-3",
+         SCFConfig(matvec_spread_order=4, matvec_grid_div=2,
+                   adjoint_tol=1e-3)),
+    ]
+    for name, scf in profiles:
+        f, n_it = forces_at(scf, drifted, u_warm)
+        d = f - f_ref
+        rel = float(np.sqrt(np.mean(d**2)) / fn)
+        fc, n_c = forces_at(scf, drifted, jnp.zeros_like(u_warm))
+        dc = fc - f_ref
+        relc = float(np.sqrt(np.mean(dc**2)) / fn)
+        emit(f"{name:>28s} {n_it:5d} {rel:11.3e} {n_c:7d} {relc:9.3e}")
 
     OUT.write_text("\n".join(lines) + "\n")
     emit(f"# wrote {OUT}")
