@@ -91,7 +91,7 @@ def main():
     print("fit OK")
 
 
-def multi_config(n_side=2, n_configs=3, n_epochs=40):
+def multi_config(n_side=2, n_configs=3, n_epochs=20):
     """Multi-configuration batched fit with checkpoint/resume: B perturbed
     water configurations stacked into ONE vmapped loss (stack_batch — the
     potential traces once regardless of B), electrostatic PME multipoles
@@ -144,11 +144,11 @@ def multi_config(n_side=2, n_configs=3, n_epochs=40):
     # phase 1: run half the epochs, checkpointing
     r1 = fit(loss_fn, start, [batch], optimizer=optax.adam(2e-3),
              n_epochs=n_epochs // 2, checkpoint_dir=str(ckpt),
-             checkpoint_every=10, log_every=0)
+             checkpoint_every=5, log_every=0)
     # phase 2: a fresh call RESUMES from the checkpoint and continues
     r2 = fit(loss_fn, start, [batch], optimizer=optax.adam(2e-3),
              n_epochs=n_epochs // 2, checkpoint_dir=str(ckpt),
-             checkpoint_every=10, log_every=0)
+             checkpoint_every=5, log_every=0)
     assert r2.steps == n_epochs, (r2.steps, n_epochs)
     l0, l1 = r1.history[0]["loss"], r2.history[-1]["loss"]
     dq0 = float(jnp.max(jnp.abs(start["q"] - q_true)))
