@@ -68,6 +68,20 @@ _QLW = 128        # stencil-table lane width: order^2 columns padded to one
 CAP_FACTOR = 1.25
 CAP_SIGMA = 8.0
 
+# atoms processed per spread-kernel loop iteration: 2 puts a PAIR of
+# independent one-hot combine chains in one predicated region for the VLIW
+# scheduler to interleave — the lever the round-4 roofline diagnosis names
+# (the forward spread runs AT its dependent-chain VPU bound). Measured
+# (examples/spreadilv_98k_tpu.out): the 2-D (large-grid) kernel WINS —
+# 98k/K=256 forward spread 50.6 -> 43.3 ms, spread e+g 86.3 -> 80.3 — while
+# the 1-D slab kernel LOSES at bench scale (3000-atom/K=128 forward
+# 8.6 -> 9.6 ms: small buckets pay the pair-region overhead without enough
+# atoms to amortize), so the default is split per kernel. Output is
+# bitwise-equal either way (same per-atom math and slab accumulation
+# order).
+SPREAD_INTERLEAVE_1D = 1
+SPREAD_INTERLEAVE_2D = 2
+
 # NOTE (measured NEUTRAL, round 4 — examples/spreadwide_98k_tpu.out): a
 # "wide" z-combine accumulating over l with order-fold fewer, wider
 # (C*order, order_y, _ZW) broadcast-FMAs measured 49.50 vs 49.21 ms on the
@@ -186,7 +200,7 @@ def _p(arr, sort_order, take):
     return arr[sort_order][take]
 
 
-def _make_spread_kernel(order: int, n_ch: int):
+def _make_spread_kernel(order: int, n_ch: int, interleave: int = 1):
     """Kernel factory: one program = one x-slab; ``order``-wide stencils and
     ``n_ch`` channels sharing indices (dispersion spreads C6/C8/C10 on the
     same B-spline geometry).
@@ -200,16 +214,23 @@ def _make_spread_kernel(order: int, n_ch: int):
     The order-wide block is placed at its in-window (yo, zo) offset with
     separable one-hot SELECT placement (static j/l unroll, vectorized
     compares) — pure VPU work, measured faster than an MXU one-hot-dot
-    z-combine (which lowers fine but lost the A/B on both bench
-    geometries; see the module docstring).
+    z-combine (which lost the A/B on both bench geometries; module
+    docstring).
 
+    ``interleave=2``: process a PAIR of atoms per fori_loop iteration
+    inside one predicated region (full-pair bulk + a one-atom odd-tail
+    region), each with its own staging scratch — the two atoms' one-hot
+    combine chains are independent, giving the VLIW scheduler work to fill
+    the issue-latency bubbles the roofline diagnosed (the forward spread
+    runs AT its dependent-chain VPU bound, examples/roofline_98k_tpu.out).
     """
 
-    def kernel(counts_ref, m_u0_ref, q_ref, out_ref, upd_ref):
+    def kernel(counts_ref, m_u0_ref, q_ref, out_ref, *upds):
         out_ref[...] = jnp.zeros_like(out_ref)
-        # rows order..YW-1 of the staging scratch are never written in the
-        # atom loop; zero them once
-        upd_ref[...] = jnp.zeros_like(upd_ref)
+        for u in upds:
+            # rows order..YW-1 of each staging scratch are never written in
+            # the atom loop; zero them once
+            u[...] = jnp.zeros_like(u)
         count = counts_ref[pl.program_id(0)]
         a_max = m_u0_ref.shape[1]
         # int32 loop bounds: under jax_enable_x64 python-int bounds make the
@@ -217,67 +238,102 @@ def _make_spread_kernel(order: int, n_ch: int):
         # lowering rule recurses without terminating (observed as
         # RecursionError on every x64 run that reaches this kernel)
         lo = jnp.asarray(0, jnp.int32)
-        hi = jnp.asarray(a_max, jnp.int32)
 
         z_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _ZW), 1)
 
-        def body(k, _):
-            @pl.when(k < count)
-            def _():
-                x0 = m_u0_ref[0, k, 0]
-                y0 = m_u0_ref[0, k, 1]
-                z0 = m_u0_ref[0, k, 2]
-                # lax.div, not //: jnp.floor_divide wraps python-int literals
-                # in an i64 helper under jax_enable_x64, and Mosaic's
-                # int64->f32 convert rule recurses forever (indices are
-                # non-negative, so truncating division IS floor division)
-                eight = jnp.asarray(8, jnp.int32)
-                o28 = jnp.asarray(128, jnp.int32)
-                yb = jax.lax.div(y0, eight) * eight
-                zb = jax.lax.div(z0, o28) * o28
-                yo = y0 - yb
-                zo = z0 - zb
-                # q arrives either as a pipelined (1, cap, R, C) block or as
-                # the (cap, R^, C^) VMEM scratch the DMA variant fills itself
-                # (rows sublane-padded to 8, lanes to 128 — slice the real
-                # C*order rows; extra LANES are harmless, never selected)
-                blk = (q_ref[0, k] if len(q_ref.shape) == 4
-                       else q_ref[k][: n_ch * order])  # (C*order, lanes)
-                # z-combine once per (j, l) — the one-hot selects are shared
-                # by all channels (identical geometry) — staged through a
-                # VMEM scratch at STATIC row j, then y-placed with ONE
-                # dynamic rotate (pltpu.roll) of the loaded window. The
-                # previous per-j one-hot broadcast FMA over the full
-                # (C*order, YW, ZW) window was ~85% of the kernel's VPU work
-                # (~426k of ~500k element-ops/atom at order 6, C=1).
-                # Value-level assembly is NOT lowerable: both sublane-axis
-                # stacks and transpose(stack-on-leading-axis) hit Mosaic
-                # 'offset mismatch on non-concat dimension' (the latter only
-                # in large fused programs) — the scratch staging is.
-                for j in range(order):
-                    tmp = jnp.zeros((n_ch * order, _ZW), blk.dtype)
-                    for l in range(order):
-                        sel = (z_iota == zo + l).astype(blk.dtype)
-                        tmp = tmp + blk[:, j * order + l][:, None] * sel
-                    upd_ref[:, j, :] = tmp
-                upd = pltpu.roll(upd_ref[...], yo, 1)
-                yb = pl.multiple_of(yb, 8)
-                zb = pl.multiple_of(zb, 128)
-                for c in range(n_ch):
-                    cur = out_ref[
-                        0, c, pl.ds(x0, order), pl.ds(yb, _YW), pl.ds(zb, _ZW)
-                    ]
-                    out_ref[
-                        0, c, pl.ds(x0, order), pl.ds(yb, _YW), pl.ds(zb, _ZW)
-                    ] = cur + upd[c * order:(c + 1) * order]
-            return jnp.asarray(0, jnp.int32)
+        def coords(k):
+            x0 = m_u0_ref[0, k, 0]
+            y0 = m_u0_ref[0, k, 1]
+            z0 = m_u0_ref[0, k, 2]
+            # lax.div, not //: jnp.floor_divide wraps python-int literals
+            # in an i64 helper under jax_enable_x64, and Mosaic's
+            # int64->f32 convert rule recurses forever (indices are
+            # non-negative, so truncating division IS floor division)
+            eight = jnp.asarray(8, jnp.int32)
+            o28 = jnp.asarray(128, jnp.int32)
+            yb = jax.lax.div(y0, eight) * eight
+            zb = jax.lax.div(z0, o28) * o28
+            return x0, yb, zb, y0 - yb, z0 - zb
+
+        def stage(k, zo, upd_r):
+            # q arrives either as a pipelined (1, cap, R, C) block or as
+            # the (cap, R^, C^) VMEM scratch the DMA variant fills itself
+            # (rows sublane-padded to 8, lanes to 128 — slice the real
+            # C*order rows; extra LANES are harmless, never selected)
+            blk = (q_ref[0, k] if len(q_ref.shape) == 4
+                   else q_ref[k][: n_ch * order])  # (C*order, lanes)
+            # z-combine once per (j, l) — the one-hot selects are shared
+            # by all channels (identical geometry) — staged through a
+            # VMEM scratch at STATIC row j, then y-placed with ONE
+            # dynamic rotate (pltpu.roll) of the loaded window. Value-level
+            # assembly is NOT lowerable (Mosaic 'offset mismatch on
+            # non-concat dimension') — the scratch staging is.
+            for j in range(order):
+                tmp = jnp.zeros((n_ch * order, _ZW), blk.dtype)
+                for l in range(order):
+                    sel = (z_iota == zo + l).astype(blk.dtype)
+                    tmp = tmp + blk[:, j * order + l][:, None] * sel
+                upd_r[:, j, :] = tmp
+
+        def flush(x0, yb, zb, yo, upd_r):
+            upd = pltpu.roll(upd_r[...], yo, 1)
+            yb = pl.multiple_of(yb, 8)
+            zb = pl.multiple_of(zb, 128)
+            for c in range(n_ch):
+                cur = out_ref[
+                    0, c, pl.ds(x0, order), pl.ds(yb, _YW), pl.ds(zb, _ZW)
+                ]
+                out_ref[
+                    0, c, pl.ds(x0, order), pl.ds(yb, _YW), pl.ds(zb, _ZW)
+                ] = cur + upd[c * order:(c + 1) * order]
+
+        def one_atom(k, upd_r):
+            x0, yb, zb, yo, zo = coords(k)
+            stage(k, zo, upd_r)
+            flush(x0, yb, zb, yo, upd_r)
+
+        if interleave == 2:
+            hi = jnp.asarray((a_max + 1) // 2, jnp.int32)
+
+            def body(k, _):
+                i0 = k * 2
+                i1 = i0 + 1
+
+                @pl.when(i1 < count)
+                def _():
+                    # both atoms in ONE region: stage both first (their
+                    # combine chains are independent — schedulable
+                    # together), then the two window RMWs (serialized by
+                    # the out_ref dependence, as correctness requires for
+                    # overlapping windows)
+                    x0a, yba, zba, yoa, zoa = coords(i0)
+                    x0b, ybb, zbb, yob, zob = coords(i1)
+                    stage(i0, zoa, upds[0])
+                    stage(i1, zob, upds[1])
+                    flush(x0a, yba, zba, yoa, upds[0])
+                    flush(x0b, ybb, zbb, yob, upds[1])
+
+                @pl.when(jnp.logical_and(i0 < count, i1 >= count))
+                def _():
+                    one_atom(i0, upds[0])
+
+                return jnp.asarray(0, jnp.int32)
+        else:
+            hi = jnp.asarray(a_max, jnp.int32)
+
+            def body(k, _):
+                @pl.when(k < count)
+                def _():
+                    one_atom(k, upds[0])
+                return jnp.asarray(0, jnp.int32)
 
         jax.lax.fori_loop(lo, hi, body, jnp.asarray(0, jnp.int32))
 
     return kernel
 
 
-def _make_spread_dma_kernel(order: int, n_ch: int, cap: int):
+def _make_spread_dma_kernel(order: int, n_ch: int, cap: int,
+                            interleave: int = 1):
     """Spread kernel variant that fetches its atom window ITSELF: the heavy
     (cap, C*order, order^2) stencil block is DMA'd from the full sorted HBM
     table at a per-bucket dynamic offset, instead of arriving through an XLA
@@ -292,17 +348,19 @@ def _make_spread_dma_kernel(order: int, n_ch: int, cap: int):
     the table by ``cap`` rows so starts[p] + cap never reads out of bounds
     (rows past counts[p] are ignored by the k < count guard).
     """
-    inner = _make_spread_kernel(order, n_ch)
+    inner = _make_spread_kernel(order, n_ch, interleave)
 
     def kernel(counts_ref, starts_ref, m_u0_ref, q_hbm_ref, out_ref,
-               upd_ref, q_scr, sem):
+               *scratch):
+        # scratch = (upd_ref[, upd2_ref], q_scr, sem)
+        *upds, q_scr, sem = scratch
         p = pl.program_id(0)
         dma = pltpu.make_async_copy(
             q_hbm_ref.at[pl.ds(starts_ref[p], cap)], q_scr, sem
         )
         dma.start()
         dma.wait()
-        inner(counts_ref, m_u0_ref, q_scr, out_ref, upd_ref)
+        inner(counts_ref, m_u0_ref, q_scr, out_ref, *upds)
 
     return kernel
 
@@ -370,8 +428,9 @@ def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False,
         ((0, 0), (0, rpad - n_ch * order), (0, _QLW - order * order)),
     )
 
+    ilv = SPREAD_INTERLEAVE_1D
     out = pl.pallas_call(
-        _make_spread_dma_kernel(order, n_ch, cap),
+        _make_spread_dma_kernel(order, n_ch, cap, ilv),
         grid=(n_slabs,),
         in_specs=[
             # explicit int32 index map: the synthesized default for a
@@ -393,11 +452,11 @@ def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False,
             (n_slabs, n_ch, width + halo, k2pad, k3pad), q_points.dtype,
             counts, m_b, q_dma,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((n_ch * order, _YW, _ZW), q_points.dtype),
-            pltpu.VMEM((cap, rpad, _QLW), q_points.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((n_ch * order, _YW, _ZW), q_points.dtype)] * ilv
+            + [pltpu.VMEM((cap, rpad, _QLW), q_points.dtype),
+               pltpu.SemaphoreType.DMA]
+        ),
         interpret=interpret,
     )(counts, starts, m_b, q_dma)
 
@@ -689,8 +748,9 @@ def _pallas_spread2d_impl(m_u0, q_points, grid_shape, nx, ny, interpret=False,
         ((0, 0), (0, rpad - n_ch * order), (0, _QLW - order * order)),
     )
 
+    ilv = SPREAD_INTERLEAVE_2D
     out = pl.pallas_call(
-        _make_spread_dma_kernel(order, n_ch, cap),
+        _make_spread_dma_kernel(order, n_ch, cap, ilv),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((nb,), lambda p: (_I0,),
@@ -710,11 +770,11 @@ def _pallas_spread2d_impl(m_u0, q_points, grid_shape, nx, ny, interpret=False,
             (nb, n_ch, wx + halo, wy + _YW, k3pad), q_points.dtype,
             counts, m_b, q_dma,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((n_ch * order, _YW, _ZW), q_points.dtype),
-            pltpu.VMEM((cap, rpad, _QLW), q_points.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((n_ch * order, _YW, _ZW), q_points.dtype)] * ilv
+            + [pltpu.VMEM((cap, rpad, _QLW), q_points.dtype),
+               pltpu.SemaphoreType.DMA]
+        ),
         interpret=interpret,
     )(counts, starts, m_b, q_dma)
     out = out.reshape(nx, ny, n_ch, wx + halo, wy + _YW, k3pad)

@@ -368,3 +368,33 @@ def test_bucket_cap_covers_bench_geometries():
                 cap = sp._bucket_cap(n, nx * ny)
                 occ = int(np.bincount(bid, minlength=nx * ny).max())
                 assert occ <= cap, (kwargs, grid, (nx, ny), occ, cap)
+
+
+def test_spread_interleave_matches_single_interpret(monkeypatch):
+    """interleave=2 (a PAIR of atoms per kernel iteration — the round-4
+    latency-filling win on the 2-D kernel, examples/spreadilv_98k_tpu.out)
+    must be BITWISE-equal to interleave=1: same per-atom math, same slab
+    accumulation order. Odd count exercises the one-atom tail region."""
+    if not pallas_spread_available():
+        pytest.skip("pallas unavailable")
+    from admp_tpu.ops.pallas import spread as sp
+
+    rng = np.random.default_rng(3)
+    k, n = 32, 401
+    m_u0 = jnp.asarray(rng.integers(0, k, (n, 3)), jnp.int32)
+    q1 = jnp.asarray(rng.normal(size=(n, 1, 216)).astype(np.float32))
+    q3 = jnp.asarray(rng.normal(size=(n, 3, 216)).astype(np.float32))
+
+    outs = {}
+    for ilv in (1, 2):
+        monkeypatch.setattr(sp, "SPREAD_INTERLEAVE_1D", ilv)
+        outs[ilv] = np.asarray(sp._pallas_spread_impl.__wrapped__(
+            m_u0, q1, (k, k, k), 4, interpret=True)[0])
+    np.testing.assert_array_equal(outs[1], outs[2])
+
+    outs = {}
+    for ilv in (1, 2):
+        monkeypatch.setattr(sp, "SPREAD_INTERLEAVE_2D", ilv)
+        outs[ilv] = np.asarray(sp._pallas_spread2d_impl.__wrapped__(
+            m_u0, q3, (k, k, k), 2, 2, interpret=True)[0])
+    np.testing.assert_array_equal(outs[1], outs[2])
