@@ -91,8 +91,14 @@ SPREAD_INTERLEAVE_2D = 2
 # read-modify-write + roll structure, which continuation-5 measurements
 # already showed resists both alternatives tried. Branch removed.
 
-def _bucket_cap(n: int, nb: int) -> int:
-    mean = n / nb
+def _bucket_cap(n: int, nb: int, scale: float = 1.0) -> int:
+    """Static per-bucket capacity. ``scale > 1`` widens the cap for callers
+    whose rows are known to concentrate in a subset of the covered rows —
+    the halo-exchange slab spread's base indices all live in the slab's
+    [0, width) region while the buckets cover n_slabs*ceil(x_ext/n_slabs)
+    rows (a ~1.5x structural concentration the 1.25x CAP_FACTOR cannot
+    absorb; see parallel/spread._local_slab_spread)."""
+    mean = n / nb * scale
     return min(
         n, int(np.ceil(mean * CAP_FACTOR + CAP_SIGMA * np.sqrt(mean))) + 32
     )
@@ -292,30 +298,37 @@ def _make_spread_kernel(order: int, n_ch: int, interleave: int = 1):
             stage(k, zo, upd_r)
             flush(x0, yb, zb, yo, upd_r)
 
-        if interleave == 2:
-            hi = jnp.asarray((a_max + 1) // 2, jnp.int32)
+        if interleave >= 2:
+            g = interleave
+            hi = jnp.asarray((a_max + g - 1) // g, jnp.int32)
+
+            def _group(i0, m):
+                # m atoms in ONE region: stage all first (their combine
+                # chains are independent — schedulable together), then the
+                # window RMWs (serialized by the out_ref dependence, as
+                # correctness requires for overlapping windows)
+                infos = [coords(i0 + t) for t in range(m)]
+                for t in range(m):
+                    stage(i0 + t, infos[t][4], upds[t])
+                for t in range(m):
+                    x0, yb, zb, yo, _zo = infos[t]
+                    flush(x0, yb, zb, yo, upds[t])
 
             def body(k, _):
-                i0 = k * 2
-                i1 = i0 + 1
+                i0 = k * g
 
-                @pl.when(i1 < count)
+                @pl.when(i0 + (g - 1) < count)
                 def _():
-                    # both atoms in ONE region: stage both first (their
-                    # combine chains are independent — schedulable
-                    # together), then the two window RMWs (serialized by
-                    # the out_ref dependence, as correctness requires for
-                    # overlapping windows)
-                    x0a, yba, zba, yoa, zoa = coords(i0)
-                    x0b, ybb, zbb, yob, zob = coords(i1)
-                    stage(i0, zoa, upds[0])
-                    stage(i1, zob, upds[1])
-                    flush(x0a, yba, zba, yoa, upds[0])
-                    flush(x0b, ybb, zbb, yob, upds[1])
+                    _group(i0, g)
 
-                @pl.when(jnp.logical_and(i0 < count, i1 >= count))
-                def _():
-                    one_atom(i0, upds[0])
+                # partial tails: exactly r in-range atoms left (r = 1..g-1)
+                for r in range(1, g):
+                    @pl.when(
+                        jnp.logical_and(i0 + (r - 1) < count,
+                                        i0 + r >= count)
+                    )
+                    def _(r=r):
+                        _group(i0, r)
 
                 return jnp.asarray(0, jnp.int32)
         else:
@@ -368,10 +381,10 @@ def _make_spread_dma_kernel(order: int, n_ch: int, cap: int,
 @functools.partial(
     jax.jit,
     static_argnames=("grid_shape", "n_slabs", "interpret", "order",
-                     "presorted"),
+                     "presorted", "cap_scale"),
 )
 def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False,
-                        order=6, presorted=False):
+                        order=6, presorted=False, cap_scale=1.0):
     """q_points: (N, C, order^3) channel-stacked stencil values. Returns
     ((C, K1, K2, K3) meshes, overflow flag)."""
     k1, k2, k3 = grid_shape
@@ -397,7 +410,7 @@ def _pallas_spread_impl(m_u0, q_points, grid_shape, n_slabs, interpret=False,
     # static per-slab capacity: 2.5x the mean, bounded by n. Keeping it small
     # matters: Pallas double-buffers VMEM inputs, and the slab accumulator is
     # already several MB. Overflow is reported to the caller.
-    cap = _bucket_cap(n, n_slabs)
+    cap = _bucket_cap(n, n_slabs, cap_scale)
     sort_order, starts, take, counts, overflow = _bucket_sort(
         slab_id, n_slabs, cap, presorted
     )
@@ -519,18 +532,20 @@ def _xla_scatter(m_u0, q_points, grid_shape):
     return mesh.at[flat].add(q_points.reshape(-1)).reshape(k1, k2, k3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def spread_blocks(m_u0, q_points, grid_shape, n_slabs=16, interpret=False,
-                  presorted=False):
+                  presorted=False, cap_scale=1.0):
     """Differentiable block spread: Pallas slab kernel forward (with automatic
     fallback to the XLA scatter if a slab bucket overflows), flat-gather
     adjoint. Same contract as the XLA scatter path. ``interpret=True`` runs the
     kernel in the Pallas interpreter (CPU testing). ``presorted=True``: the
-    caller already grouped atoms by ``slab_bucket_id`` (see _bucket_sort)."""
+    caller already grouped atoms by ``slab_bucket_id`` (see _bucket_sort).
+    ``cap_scale``: widen the static bucket capacity for callers whose base
+    rows concentrate in a known subset of the grid (see _bucket_cap)."""
     n = q_points.shape[0]
     mesh, overflow = _pallas_spread_impl(
         m_u0, q_points.reshape(n, 1, 216), grid_shape, n_slabs, interpret,
-        presorted=presorted,
+        presorted=presorted, cap_scale=cap_scale,
     )
     return jax.lax.cond(
         overflow,
@@ -540,10 +555,10 @@ def spread_blocks(m_u0, q_points, grid_shape, n_slabs=16, interpret=False,
 
 
 def _spread_blocks_fwd(m_u0, q_points, grid_shape, n_slabs=16,
-                       interpret=False, presorted=False):
+                       interpret=False, presorted=False, cap_scale=1.0):
     return (
         spread_blocks(m_u0, q_points, grid_shape, n_slabs, interpret,
-                      presorted),
+                      presorted, cap_scale),
         m_u0,
     )
 
@@ -572,8 +587,8 @@ def _flat_gather(m_u0, g_mesh, grid_shape, order):
     )
 
 
-def _spread_blocks_bwd(grid_shape, n_slabs, interpret, presorted, m_u0,
-                       g_mesh):
+def _spread_blocks_bwd(grid_shape, n_slabs, interpret, presorted, cap_scale,
+                       m_u0, g_mesh):
     # windowed-gather kernel (the XLA flat gather is per-element bound:
     # ~62M elem/s measured — examples/gather_98k_tpu.out), via the
     # DIFFERENTIABLE gather_blocks op (flat-gather fallback on overflow
@@ -582,7 +597,7 @@ def _spread_blocks_bwd(grid_shape, n_slabs, interpret, presorted, m_u0,
     # first-class gathers section below)
     n = m_u0.shape[0]
     g_q = gather_blocks(m_u0, g_mesh[None], grid_shape, 6, n_slabs,
-                        interpret, presorted)
+                        interpret, presorted, cap_scale)
     return None, g_q.reshape(n, 6, 6, 6)
 
 
@@ -609,15 +624,16 @@ def _xla_scatter_multi(m_u0, q_points, grid_shape, order):
     return mesh.reshape(n_ch, k1, k2, k3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def spread_blocks_multi(m_u0, q_points, grid_shape, order, n_slabs=16,
-                        interpret=False, presorted=False):
+                        interpret=False, presorted=False, cap_scale=1.0):
     """Multi-channel differentiable block spread: ``q_points`` is
     (N, C, order^3); returns (C, K1, K2, K3). Pallas slab kernel forward
     (XLA multi-channel scatter fallback on bucket overflow), flat-gather
     adjoint."""
     mesh, overflow = _pallas_spread_impl(
-        m_u0, q_points, grid_shape, n_slabs, interpret, order, presorted
+        m_u0, q_points, grid_shape, n_slabs, interpret, order, presorted,
+        cap_scale,
     )
     return jax.lax.cond(
         overflow,
@@ -627,16 +643,16 @@ def spread_blocks_multi(m_u0, q_points, grid_shape, order, n_slabs=16,
 
 
 def _spread_blocks_multi_fwd(m_u0, q_points, grid_shape, order, n_slabs=16,
-                             interpret=False, presorted=False):
+                             interpret=False, presorted=False, cap_scale=1.0):
     out = spread_blocks_multi(m_u0, q_points, grid_shape, order, n_slabs,
-                              interpret, presorted)
+                              interpret, presorted, cap_scale)
     return out, m_u0
 
 
 def _spread_blocks_multi_bwd(grid_shape, order, n_slabs, interpret, presorted,
-                             m_u0, g_mesh):
+                             cap_scale, m_u0, g_mesh):
     return None, gather_blocks(m_u0, g_mesh, grid_shape, order, n_slabs,
-                               interpret, presorted)
+                               interpret, presorted, cap_scale)
 
 
 spread_blocks_multi.defvjp(_spread_blocks_multi_fwd, _spread_blocks_multi_bwd)
@@ -929,6 +945,59 @@ def _make_gather_kernel(order: int, n_ch: int):
     return kernel
 
 
+def _make_gather_kernel_mxu(order: int, n_ch: int):
+    """Gather-kernel variant (round-4 VERDICT item 6): per atom, ONE
+    unaligned (order, order, _ZW) window load (dynamic sublane start y0 —
+    skips the 16-row aligned window and its 6 one-hot y-picks entirely)
+    followed by an MXU one-hot z-contraction
+    ((order^2, _ZW) x (_ZW, order) dot). Arithmetic per atom drops ~20x vs
+    the one-hot pick-reduce kernel (~30k vs ~600k VPU ops); whether the
+    unaligned load + small-dot latency beats the pure-XLA row-gather path
+    (~10-14 ns/row, 36 rows/atom) is exactly the measured question."""
+
+    def kernel(counts_ref, m_u0_ref, g_ref, out_ref):
+        out_ref[...] = jnp.zeros_like(out_ref)
+        count = counts_ref[pl.program_id(0)]
+        a_max = m_u0_ref.shape[1]
+        lo = jnp.asarray(0, jnp.int32)
+        hi = jnp.asarray(a_max, jnp.int32)
+
+        z_iota = jax.lax.broadcasted_iota(jnp.int32, (_ZW, order), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (_ZW, order), 1)
+
+        def body(k, _):
+            @pl.when(k < count)
+            def _():
+                x0 = m_u0_ref[0, k, 0]
+                y0 = m_u0_ref[0, k, 1]
+                z0 = m_u0_ref[0, k, 2]
+                o28 = jnp.asarray(128, jnp.int32)
+                zb = jax.lax.div(z0, o28) * o28
+                zo = z0 - zb
+                zb = pl.multiple_of(zb, 128)
+                sel = (z_iota == zo + l_iota).astype(out_ref.dtype)
+                chans = []
+                for c in range(n_ch):
+                    cur = g_ref[
+                        0, c, pl.ds(x0, order), pl.ds(y0, order),
+                        pl.ds(zb, _ZW),
+                    ]  # (order, order, _ZW), unaligned sublane start
+                    mm = jax.lax.dot_general(
+                        cur.reshape(order * order, _ZW), sel,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (order^2, order): [(x, y), l]
+                    # (x*order+y, l) -> (x, y*order+l): matches the one-hot
+                    # kernel's (order, order^2) row layout
+                    chans.append(mm.reshape(order, order * order))
+                out_ref[0, k] = jnp.concatenate(chans, axis=0)
+            return jnp.asarray(0, jnp.int32)
+
+        jax.lax.fori_loop(lo, hi, body, jnp.asarray(0, jnp.int32))
+
+    return kernel
+
+
 def _wrap_axis(g, axis: int, target: int):
     """Extend an axis to ``target`` by periodic tiling (handles extents
     larger than the axis itself — small grids wrap multiple times)."""
@@ -971,7 +1040,7 @@ def _gather_postprocess(out, atom_ix, counts, n, n_ch, order):
 
 
 def _pallas_gather2d_impl(m_u0, g_mesh, grid_shape, nx, ny, interpret=False,
-                          order=6, presorted=False):
+                          order=6, presorted=False, variant="onehot"):
     """Adjoint of _pallas_spread2d_impl: (C, K1, K2, K3) cotangent ->
     ((N, C, order^3) stencil cotangents, overflow flag). Same bucketing as
     the forward; the overflow flag routes the caller to the flat-gather
@@ -1037,8 +1106,10 @@ def _pallas_gather2d_impl(m_u0, g_mesh, grid_shape, nx, ny, interpret=False,
     n_prog = nb * s_chunks
     s_const = np.int32(s_chunks)
 
+    kern = (_make_gather_kernel_mxu if variant == "mxu"
+            else _make_gather_kernel)
     out = pl.pallas_call(
-        _make_gather_kernel(order, n_ch),
+        kern(order, n_ch),
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec((n_prog,), lambda p: (_I0,),
@@ -1071,7 +1142,8 @@ def _pallas_gather2d_impl(m_u0, g_mesh, grid_shape, nx, ny, interpret=False,
 
 
 def _pallas_gather_slabs_impl(m_u0, g_mesh, grid_shape, n_slabs,
-                              interpret=False, order=6, presorted=False):
+                              interpret=False, order=6, presorted=False,
+                              cap_scale=1.0):
     """Adjoint of _pallas_spread_impl (1-D slab decomposition): same contract
     as _pallas_gather2d_impl."""
     k1, k2, k3 = grid_shape
@@ -1092,7 +1164,7 @@ def _pallas_gather_slabs_impl(m_u0, g_mesh, grid_shape, n_slabs,
         axis=-1,
     ).astype(jnp.int32)
     slab_id = base[:, 0] // width
-    cap = _bucket_cap(n, n_slabs)
+    cap = _bucket_cap(n, n_slabs, cap_scale)
     cap_s = min(cap, 512)
     s_chunks = -(-cap // cap_s)
     cap_pad = cap_s * s_chunks
@@ -1264,9 +1336,9 @@ def _row_gather_impl(m_u0, g_mesh, grid_shape, order):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def gather_blocks(m_u0, g_mesh, grid_shape, order=6, n_slabs=16,
-                  interpret=False, presorted=False):
+                  interpret=False, presorted=False, cap_scale=1.0):
     """Windowed gather (slab decomposition): (C, K1, K2, K3) mesh cotangent
     -> (N, C, order^3) per-atom stencil cotangents, flat-gather fallback on
     bucket overflow. Linear in ``g_mesh``; VJP = spread_blocks_multi.
@@ -1275,7 +1347,8 @@ def gather_blocks(m_u0, g_mesh, grid_shape, order=6, n_slabs=16,
     if _row_gather_eligible(grid_shape):
         return _row_gather_impl(m_u0, g_mesh, grid_shape, order)
     g_k, overflow = _pallas_gather_slabs_impl(
-        m_u0, g_mesh, grid_shape, n_slabs, interpret, order, presorted
+        m_u0, g_mesh, grid_shape, n_slabs, interpret, order, presorted,
+        cap_scale,
     )
     return jax.lax.cond(
         overflow,
@@ -1285,18 +1358,18 @@ def gather_blocks(m_u0, g_mesh, grid_shape, order=6, n_slabs=16,
 
 
 def _gather_blocks_fwd(m_u0, g_mesh, grid_shape, order=6, n_slabs=16,
-                       interpret=False, presorted=False):
+                       interpret=False, presorted=False, cap_scale=1.0):
     return (
         gather_blocks(m_u0, g_mesh, grid_shape, order, n_slabs, interpret,
-                      presorted),
+                      presorted, cap_scale),
         m_u0,
     )
 
 
 def _gather_blocks_bwd(grid_shape, order, n_slabs, interpret, presorted,
-                       m_u0, ct):
+                       cap_scale, m_u0, ct):
     return None, spread_blocks_multi(
-        m_u0, ct, grid_shape, order, n_slabs, interpret, presorted
+        m_u0, ct, grid_shape, order, n_slabs, interpret, presorted, cap_scale
     )
 
 

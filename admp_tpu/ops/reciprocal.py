@@ -213,7 +213,8 @@ def _pallas_backend_ok(dtype) -> bool:
 
 
 def _pallas_spread_slabs(grid_shape, dtype, order: int, n_ch: int = 1,
-                         n_atoms: int | None = None):
+                         n_atoms: int | None = None,
+                         cap_scale: float = 1.0):
     """'auto' spread-method resolution: the slab count for the Pallas kernel
     when it can win — TPU backend, float32, and a VMEM footprint that fits the
     budget (the y/z extent is full-grid; only x is slabbed, so larger grids
@@ -245,7 +246,7 @@ def _pallas_spread_slabs(grid_shape, dtype, order: int, n_ch: int = 1,
         else:
             # the stencil table is a single-buffered manual-DMA scratch
             # (spread.py _make_spread_dma_kernel); only m_b pipelines (x2)
-            cap = _bucket_cap(n_atoms, n_slabs)
+            cap = _bucket_cap(n_atoms, n_slabs, cap_scale)
             input_bytes = (vmem_block_bytes((cap, n_ch * order,
                                              order * order))
                            + 2 * vmem_block_bytes((1, cap, 3)))

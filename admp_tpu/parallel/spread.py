@@ -100,6 +100,17 @@ def _local_slab_spread(base_r, q_points, dev, width, halo, k2, k3, order,
 
     use_kernel = False
     n_slabs = 16
+    x_ext = width + halo
+    # every base row (real AND padding) lives in [0, width) — the halo rows
+    # are only reached by stencil offsets — while the kernel's buckets cover
+    # n_slabs*ceil(x_ext/n_slabs) rows, so the occupancy concentrates by
+    # that ratio relative to the kernel's uniform-mean capacity assumption.
+    # Pass it as cap_scale or the kernel overflows at PRODUCTION occupancy
+    # (n ~ 3x n_loc rows incl. zero-weight padding) and silently demotes
+    # every step to kernel-plus-discarded-scatter (ADVICE r4 medium).
+    def _cap_scale(nb: int) -> float:
+        return (nb * (-(-x_ext // nb))) / max(width, 1)
+
     if spread_method in ("auto", "pallas") and order == 6:
         from admp_tpu.ops.reciprocal import _pallas_spread_slabs
 
@@ -108,7 +119,8 @@ def _local_slab_spread(base_r, q_points, dev, width, halo, k2, k3, order,
             use_kernel = True
         else:
             picked = _pallas_spread_slabs(
-                slab_grid, q_points.dtype, order, 1, base_r.shape[0]
+                slab_grid, q_points.dtype, order, 1, base_r.shape[0],
+                cap_scale=_cap_scale(16),
             )
             if picked is not None:
                 use_kernel = True
@@ -116,7 +128,6 @@ def _local_slab_spread(base_r, q_points, dev, width, halo, k2, k3, order,
         # the kernel's x-wrap fold requires the padded extent overhang
         # (n_slabs*ceil(k1'/n_slabs) + halo - k1') to fit inside k1' — a
         # non-issue at production grid sizes, but halo slabs can be narrow
-        x_ext = width + halo
         while n_slabs > 1 and (
             n_slabs * (-(-x_ext // n_slabs)) + halo - x_ext > x_ext
         ):
@@ -132,6 +143,7 @@ def _local_slab_spread(base_r, q_points, dev, width, halo, k2, k3, order,
         return spread_blocks(
             m_u0_slab, q_points.reshape(-1, order, order, order),
             (width + halo, int(k2), int(k3)), n_slabs, interpret,
+            False, _cap_scale(n_slabs),
         )
 
     offs = jnp.arange(order, dtype=jnp.int32)
@@ -206,10 +218,17 @@ def sharded_spread_halo(positions, box, q_harm, grid_shape, lmax: int,
         0,
     )
     # give invalid rows an owner-consistent x so their (zero-weight) scatter
-    # rows stay inside the destination slab
+    # rows stay inside the destination slab — SPREAD over the slab's rows
+    # (slot % width), not pinned at row 0: at production occupancy the
+    # ~(cap_factor-1)*n_loc padding rows would all land in the Pallas
+    # kernel's first slab bucket and overflow it, silently demoting every
+    # step to kernel-plus-discarded-fallback (ADVICE r4 medium)
+    pad_x = (
+        jnp.arange(n_dev, dtype=jnp.int32)[:, None] * width
+        + jnp.arange(cap, dtype=jnp.int32)[None, :] % width
+    )
     base_b = base_b.at[..., 0].set(
-        jnp.where(valid, base_b[..., 0], jnp.arange(n_dev, dtype=jnp.int32)[
-            :, None] * width)
+        jnp.where(valid, base_b[..., 0], pad_x)
     )
 
     a2a = lambda x: jax.lax.all_to_all(
@@ -274,9 +293,12 @@ def sharded_spread_halo_multi(positions, box, coeffs, grid_shape,
     base_b = jnp.where(
         vmask, jnp.stack([base_x, base_y, base_z], -1)[take], 0
     )
+    pad_x = (
+        jnp.arange(n_dev, dtype=jnp.int32)[:, None] * width
+        + jnp.arange(cap, dtype=jnp.int32)[None, :] % width
+    )
     base_b = base_b.at[..., 0].set(
-        jnp.where(valid, base_b[..., 0], jnp.arange(n_dev, dtype=jnp.int32)[
-            :, None] * width)
+        jnp.where(valid, base_b[..., 0], pad_x)
     )
 
     a2a = lambda x: jax.lax.all_to_all(

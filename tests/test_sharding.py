@@ -680,3 +680,113 @@ def test_sharded_water1024_reference_box(mesh8, water1024):
     np.testing.assert_allclose(
         np.asarray(f_sharded), np.asarray(f_single), atol=1e-9 * scale
     )
+
+
+def test_halo_spread_pallas_buckets_fit_at_production_occupancy():
+    """The halo spread's Pallas slab kernel must NOT overflow its static
+    bucket capacity at PRODUCTION occupancy (98k atoms / 8 devices): the
+    received rows include ~(cap_factor-1)*n_loc zero-weight padding rows and
+    every base row (real or padding) lives in the slab's [0, width) region
+    while the kernel's buckets cover n_slabs*ceil(x_ext/n_slabs) rows.
+    Round-4 ADVICE (medium): padding rows were all pinned at lx=0, so slab
+    bucket 0 always overflowed and the kernel result was silently discarded
+    in favor of the scatter fallback — every step paid both. The 8-device
+    equivalence tests run far below the overflow threshold and cannot see
+    this; this test mirrors the production binning math in numpy."""
+    from admp_tpu.ops.pallas.spread import _bucket_cap
+
+    n_dev, n_loc = 8, 12288            # 98304 atoms over 8 devices
+    k1, order = 256, 6
+    width = k1 // n_dev                # 32
+    halo = order - 1
+    x_ext = width + halo               # 37
+    cap_factor = 3.0
+    cap_a2a = min(n_loc, int(-(-n_loc * cap_factor // n_dev)) + 8)
+
+    rng = np.random.RandomState(7)
+    lx_new, lx_old = [], []
+    for _src in range(n_dev):
+        # water-like structure: 3 atoms per molecule share a base row
+        # (structured aliasing is what broke the 1.25x cap in round 3 —
+        # ROADMAP bucket-cap overflow regression)
+        mol_x = rng.randint(0, k1, size=n_loc // 3)
+        base_x = np.repeat(mol_x, 3)
+        dest = base_x[(base_x // width) == 0]       # rows bound for slab 0
+        count = min(dest.size, cap_a2a)
+        pad_slots = np.arange(count, cap_a2a)
+        lx_new.append(np.concatenate([dest[:count], pad_slots % width]))
+        lx_old.append(np.concatenate([dest[:count],
+                                      np.zeros(cap_a2a - count, np.int64)]))
+    lx_new = np.concatenate(lx_new)
+    lx_old = np.concatenate(lx_old)
+    n = lx_new.size
+    assert n == n_dev * cap_a2a
+
+    # kernel-side bucketing (mirrors _pallas_spread_impl at the halo grid)
+    n_slabs = 16
+    kw = -(-x_ext // n_slabs)
+    cap_scale = (n_slabs * kw) / width  # what _local_slab_spread passes
+    cap = _bucket_cap(n, n_slabs, cap_scale)
+
+    counts_new = np.bincount(lx_new // kw, minlength=n_slabs)
+    assert counts_new.max() <= cap, (
+        f"halo-path bucket occupancy {counts_new.max()} exceeds cap {cap}"
+    )
+
+    # the round-4 behavior (padding pinned at lx=0, unscaled cap) overflowed:
+    # keep proof that this test bites
+    cap_old = _bucket_cap(n, n_slabs)
+    counts_old = np.bincount(lx_old // kw, minlength=n_slabs)
+    assert counts_old.max() > cap_old
+
+
+def test_collective_bytes_pinned(mesh8):
+    """Comm-volume accounting (round-4 VERDICT item 5): the halo spread's
+    all_to_all must move exactly its designed (6+T)-scalar payload per
+    redistributed row (u0 + alpha + base — never the 216-value stencil or
+    the mesh), and the pencil rfft's single transpose must move exactly
+    itemsize*(K1/P)*K2*(K3/2+1) complex bytes per hop. Tallied from the
+    traced jaxpr (admp_tpu/utils/comm.py), the same technique as the
+    per-device memory assertion above."""
+    from jax.sharding import PartitionSpec as P
+    from admp_tpu.parallel.fft import rfft3d_pencil
+    from admp_tpu.parallel.spread import sharded_spread_halo
+    from admp_tpu.utils.comm import collective_bytes
+
+    n_dev = 8
+    K = 32
+    float_b = jnp.zeros(()).dtype.itemsize  # 8 under the x64 test config
+    cplx_b = 2 * float_b
+
+    fft_fn = jax.shard_map(
+        lambda x: rfft3d_pencil(x, "model"), mesh=mesh8,
+        in_specs=(P("model", None, None),),
+        out_specs=P(None, "model", None), check_vma=False,
+    )
+    t = collective_bytes(fft_fn, jnp.zeros((K, K, K)))
+    assert t["static"]["all_to_all"] == cplx_b * (K // n_dev) * K * (K // 2 + 1)
+
+    n = 384
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(0, 20.0, (n, 3)))
+    box = jnp.eye(3) * 20.0
+    q9 = jnp.asarray(rng.standard_normal((n, 9)))
+
+    spread_fn = jax.shard_map(
+        lambda p, b, q: sharded_spread_halo(p, b, q, (K, K, K), 2, "model",
+                                            n_dev)[0],
+        mesh=mesh8, in_specs=(P(), P(), P()),
+        out_specs=P("model", None, None), check_vma=False,
+    )
+    t = collective_bytes(spread_fn, pos, box, q9)
+    n_loc = n // n_dev
+    cap = min(n_loc, int(-(-n_loc * 3.0 // n_dev)) + 8)
+    T = 10  # separable spread terms at lmax=2
+    int_b = jnp.zeros((), jnp.int32).dtype.itemsize
+    predicted = n_dev * cap * ((3 + T) * float_b + 3 * int_b)
+    assert t["static"]["all_to_all"] == predicted
+    # halo fold: ceil(halo/width) ppermute hops of the (halo, K, K) tail
+    width = K // n_dev
+    halo = 5
+    n_folds = -(-halo // width)
+    assert t["static"]["ppermute"] == n_folds * halo * K * K * float_b
