@@ -398,3 +398,33 @@ def test_spread_interleave_matches_single_interpret(monkeypatch):
         outs[ilv] = np.asarray(sp._pallas_spread2d_impl.__wrapped__(
             m_u0, q3, (k, k, k), 2, 2, interpret=True)[0])
     np.testing.assert_array_equal(outs[1], outs[2])
+
+
+def test_spread_interleave_groups_bitwise_equal():
+    """The generalized g-way atom interleave (round-4 VERDICT item 7: try
+    3/4 on the 2-D path) must be bitwise-equal to the serial kernel for
+    every group size, including the partial-tail regions."""
+    from admp_tpu.ops.pallas import spread as sp
+
+    rng = np.random.default_rng(3)
+    K = 32
+    for n in (7, 64, 301):  # exercise every tail remainder class
+        m_u0 = jnp.asarray(rng.integers(3, K - 3, (n, 3)), jnp.int32)
+        q = jnp.asarray(
+            rng.standard_normal((n, 6, 6, 6)), jnp.float32
+        )
+        ref = None
+        old = sp.SPREAD_INTERLEAVE_1D
+        try:
+            for ilv in (1, 2, 3, 4):
+                sp.SPREAD_INTERLEAVE_1D = ilv
+                mesh, ovf = sp.spread_to_mesh_pallas(
+                    m_u0, q, (K, K, K), n_slabs=4, interpret=True
+                )
+                assert not bool(ovf)
+                if ref is None:
+                    ref = mesh
+                else:
+                    assert float(jnp.max(jnp.abs(mesh - ref))) == 0.0
+        finally:
+            sp.SPREAD_INTERLEAVE_1D = old
