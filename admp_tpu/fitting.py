@@ -62,6 +62,27 @@ def energy_force_loss(potential_fn, energy_weight=1.0, force_weight=0.1):
 
     def loss(params, batch):
         if isinstance(batch, tuple) and hasattr(batch[0], "ndim"):
+            # stacked form: validate it IS one (5 arrays, common leading
+            # config axis) rather than a single legacy entry tuple —
+            # routing an entry into vmap fails with an opaque shape error
+            # deep inside the potential (ADVICE r4)
+            if len(batch) != 5:
+                raise ValueError(
+                    "stacked batch must be (positions, box, pairs, "
+                    f"target_energy, target_forces); got {len(batch)} "
+                    "elements. For a single configuration, wrap the entry "
+                    "in a list ([entry]) or use stack_batch([entry])."
+                )
+            lead = {int(jnp.shape(a)[0]) for a in batch if jnp.ndim(a) > 0}
+            if len(lead) != 1 or jnp.ndim(batch[0]) != 3:
+                raise ValueError(
+                    "stacked batch arrays must share one leading "
+                    "configuration axis (positions (B,N,3), box (B,3,3), "
+                    "pairs (B,P,2), energies (B,), forces (B,N,3)); got "
+                    f"shapes {[jnp.shape(a) for a in batch]}. A single "
+                    "legacy entry tuple must be passed as [entry], or "
+                    "stacked via stack_batch."
+                )
             losses = jax.vmap(
                 lambda *entry: one(params, *entry)
             )(*batch)

@@ -33,6 +33,7 @@ def disp_pme_real_energy(positions, box, pairs, c_list, m_scales, covalent_map,
     # component-form geometry (see ops/realspace.qi_pair_components):
     # positions + dispersion coefficients packed into ONE table so each pair
     # side costs a single row gather; the i-side transpose rides the sorted
+    pairs_i_sorted = pairs_i_sorted is True  # 'auto' never reaches the leaf
     # segment-sum when the pair list is i-sorted (EngineConfig.pairs_i_sorted)
     if c_list.dtype == positions.dtype:
         from admp_tpu.ops.realspace import take_rows_sorted
@@ -93,7 +94,8 @@ class ADMPDispPmeForce:
     (reference: admp/disp_pme.py:20-77)."""
 
     def __init__(self, box, covalent_map, rc, ethresh, pmax,
-                 cache_influence: bool = False, fft_friendly_grid: bool = False,
+                 cache_influence: bool = False,
+                 fft_friendly_grid: bool | str = "auto",
                  config: EngineConfig | None = None):
         from admp_tpu.ops.exclusions import SparseExclusions
 
@@ -102,6 +104,13 @@ class ADMPDispPmeForce:
                 cache_influence=cache_influence,
                 fft_friendly_grid=fft_friendly_grid,
             )
+        # pairs_i_sorted='auto': safe unsorted default; re-resolved from a
+        # NeighborList's i_sorted contract at the call surface
+        self._pairs_auto = config.pairs_i_sorted == "auto"
+        if self._pairs_auto:
+            import dataclasses as _dc
+
+            config = _dc.replace(config, pairs_i_sorted=False)
         self.config = config
         self.covalent_map = (
             covalent_map
@@ -122,12 +131,16 @@ class ADMPDispPmeForce:
         grid_ethresh = (
             config.disp_ethresh if config.disp_ethresh is not None else ethresh
         )
-        if config.fft_friendly_grid:
+        if config.resolve_fft_friendly():
             from admp_tpu.ops.ewald import setup_ewald_parameters_fft
 
             kappa, k1, k2, k3 = setup_ewald_parameters_fft(rc, grid_ethresh, box)
         else:
             kappa, k1, k2, k3 = setup_ewald_parameters(rc, grid_ethresh, box)
+        if config.resolve_lane_align():
+            from admp_tpu.ops.ewald import lane_align_k3
+
+            k3 = lane_align_k3(k3)
         self.kappa = kappa
         self.K1, self.K2, self.K3 = k1, k2, k3
         self.pme_order = 6
@@ -136,6 +149,24 @@ class ADMPDispPmeForce:
     def update_env(self, attr, val):
         setattr(self, attr, val)
         self.refresh_calculators()
+
+    def _accept_pairs(self, pairs):
+        """See ADMPPmeForce._accept_pairs: NeighborList unwrapping +
+        pairs_i_sorted='auto' resolution from the list's own contract."""
+        from admp_tpu.ops.neighborlist import NeighborList
+
+        if not isinstance(pairs, NeighborList):
+            return pairs
+        if self._pairs_auto and (
+            bool(pairs.i_sorted) != self.config.pairs_i_sorted
+        ):
+            import dataclasses as _dc
+
+            self.config = _dc.replace(
+                self.config, pairs_i_sorted=bool(pairs.i_sorted)
+            )
+            self.refresh_calculators()
+        return pairs.pairs
 
     def refresh_calculators(self):
         grid = (self.K1, self.K2, self.K3)
@@ -186,6 +217,32 @@ class ADMPDispPmeForce:
                 "e_disp_total": e_real + e_recip + e_self,
             }
 
-        self.get_metrics = maybe_jit(get_metrics)
-        self.get_energy = maybe_jit(get_energy)
-        self.get_forces = maybe_jit(jax.value_and_grad(get_energy))
+        # thin Python wrappers so the public surface accepts a NeighborList
+        # (pairs_i_sorted='auto' resolution, same contract as ADMPPmeForce)
+        self._jitted = {
+            "metrics": maybe_jit(get_metrics),
+            "energy": maybe_jit(get_energy),
+            "forces": maybe_jit(jax.value_and_grad(get_energy)),
+        }
+
+        def get_metrics_pub(positions, box, pairs, c_list, mScales):
+            pairs = self._accept_pairs(pairs)
+            return self._jitted["metrics"](
+                positions, box, pairs, c_list, mScales
+            )
+
+        def get_energy_pub(positions, box, pairs, c_list, mScales):
+            pairs = self._accept_pairs(pairs)
+            return self._jitted["energy"](
+                positions, box, pairs, c_list, mScales
+            )
+
+        def get_forces_pub(positions, box, pairs, c_list, mScales):
+            pairs = self._accept_pairs(pairs)
+            return self._jitted["forces"](
+                positions, box, pairs, c_list, mScales
+            )
+
+        self.get_metrics = get_metrics_pub
+        self.get_energy = get_energy_pub
+        self.get_forces = get_forces_pub

@@ -54,7 +54,7 @@ def expand_pairs(positions, box, pairs, covalent_map, scales,
     j = jnp.minimum(raw_j, n - 1)
     # component-form geometry: one AoS gather per site, then scalar wrap —
     # (C, 3) displacement intermediates tile-pad on TPU (see ops/realspace)
-    if pairs_i_sorted:
+    if pairs_i_sorted is True:
         from admp_tpu.ops.realspace import take_rows_sorted
 
         p_i = take_rows_sorted(positions, i)
@@ -109,7 +109,7 @@ def generate_pairwise_interaction(pair_int_kernel, covalent_map,
         # pack the per-atom parameter columns and gather each site ONCE:
         # a (C, P) row-per-index gather beats P separate 1-D gathers on TPU
         packed = jnp.stack(atomic_params, axis=-1)
-        if pairs_i_sorted:
+        if pairs_i_sorted is True:
             from admp_tpu.ops.realspace import take_rows_sorted
 
             g_i = take_rows_sorted(packed, i)

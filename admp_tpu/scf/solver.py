@@ -223,6 +223,9 @@ def _make_external_r0_solve(_solve_impl, _setup, matvec_fn, config):
 
     def solve_bwd(residuals, cotangents):
         u_star, u0, inputs, pol, w_pre = residuals
+        # the aux (converged, n_iter, w) cotangent is DISCARDED: w is an
+        # adjoint warm start, non-differentiable by contract (the pme.py
+        # surface stop-gradients it so the semantics are explicit)
         g, _ = cotangents
         if not config.exact_adjoint:
             return (

@@ -172,7 +172,17 @@ class EngineConfig:
     reference's module globals + scattered constructor args).
 
     Grid:
-      fft_friendly_grid: round the OpenMM mesh heuristic up to 5-smooth sizes.
+      fft_friendly_grid: round the OpenMM mesh heuristic up to 5-smooth
+        sizes. Default 'auto' = on when the default backend is TPU (radix-
+        2/3/5 FFTs are far faster there and a larger mesh is strictly more
+        accurate), off elsewhere (CPU tests / reference parity keep the
+        reference's exact heuristic grids). Explicit True/False respected.
+      lane_align_grid: round K3 up to the next multiple of 128 when the
+        stretch is <= 4/3 (ops/ewald.lane_align_k3) so the spread adjoint
+        rides the row-gather path. Default 'auto' = on for plain-f32 TPU
+        configs only; measured 64.2 -> ~39 ms on the default-config
+        exact-adjoint polarizable step (round-4 VERDICT: the heuristic 96^3
+        grid was a 1.65x config footgun).
     Spreading:
       spread_method: 'auto' (default: the Pallas slab kernel on TPU for
         f32/order-6 grids whose slab fits VMEM — measured spread e+g
@@ -200,8 +210,12 @@ class EngineConfig:
         scatter-add (measured 28.5 vs 39.8 ms per 1.7M-row pass at 98k
         atoms). CONTRACT: forward results are identical either way, but an
         UNSORTED pair list under this hint silently produces wrong
-        gradients — leave False unless the lists come from this package's
-        neighbor lists or are otherwise known-sorted.
+        gradients. Default 'auto' (VERDICT r4 item 3): raw pair ARRAYS take
+        the safe unsorted path; passing the ``NeighborList`` OBJECT itself
+        to get_energy/get_forces resolves the hint from the list's own
+        ``i_sorted`` contract — provenance is exactly what makes the sorted
+        backward safe. Set True only for pair arrays known-sorted by other
+        means; False forces the safe path everywhere.
     Precision (north star: f32 force RMSE < 1e-6 vs f64, BASELINE.md):
       realspace_precision: None, 'f64', 'f64-near', or 'f64-all'.
         'f64': evaluate the topological-exclusion pairs (the large-magnitude
@@ -247,9 +261,10 @@ class EngineConfig:
       scf: induced-dipole solver configuration.
     """
 
-    fft_friendly_grid: bool = False
+    fft_friendly_grid: bool | str = "auto"
+    lane_align_grid: bool | str = "auto"
     pair_kernel: str = "auto"
-    pairs_i_sorted: bool = False
+    pairs_i_sorted: bool | str = "auto"
     spread_method: str = "auto"
     spread_order: int = 6
     spread_precision: str | None = None
@@ -262,7 +277,41 @@ class EngineConfig:
     disp_ethresh: float | None = None
     disp_spread_order: int = 6
     cache_influence: bool = False
+    # Per-(source, target) bin capacity factor of the halo-exchange spread's
+    # fixed-capacity all_to_all (parallel/spread.sharded_spread_halo), as a
+    # multiple of the uniform share n_loc/P. The 3x default assumes each
+    # device's atom BLOCK is spatially mixed in x; lattice- or
+    # trajectory-ordered atoms sharded by index blocks concentrate whole
+    # blocks into few slabs and overflow it (NaN-poisoned slab, loud).
+    # Spatially decompose (or shuffle) the atom order for production
+    # multi-chip runs, or raise this toward P (cap saturates at n_loc:
+    # always safe, a2a traffic grows accordingly).
+    halo_cap_factor: float = 3.0
     scf: SCFConfig = dataclasses.field(default_factory=SCFConfig)
+
+    def resolve_fft_friendly(self) -> bool:
+        """'auto' -> True on TPU (faster radix-2/3/5 FFTs, never less
+        accurate), False elsewhere (reference-parity heuristic grids)."""
+        if self.fft_friendly_grid == "auto":
+            import jax
+
+            return jax.default_backend() == "tpu"
+        return bool(self.fft_friendly_grid)
+
+    def resolve_lane_align(self) -> bool:
+        """'auto' -> True only for plain-f32 TPU configs (the row-gather
+        adjoint the alignment buys is an f32 TPU path; precision modes keep
+        their own grid policies — 'ds' already rounds to powers of two)."""
+        if self.lane_align_grid == "auto":
+            import jax
+
+            return (
+                jax.default_backend() == "tpu"
+                and not jax.config.jax_enable_x64
+                and self.recip_precision is None
+                and self.spread_precision is None
+            )
+        return bool(self.lane_align_grid)
 
     @classmethod
     def high_accuracy(cls, **overrides):

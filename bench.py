@@ -60,8 +60,13 @@ def _log(msg):
     print(f"[bench {_elapsed():7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
+_EMITTED = False
+
+
 def _emit(record):
+    global _EMITTED
     print(json.dumps(record), flush=True)
+    _EMITTED = True
 
 
 def build_pol_workload():
@@ -323,13 +328,18 @@ def _primary_record(ms_pol):
 
 
 def main():
-    # Watchdog: at the budget, force-exit 0 — the flushed lines stand.
+    # Watchdog: at the budget, force-exit — the flushed lines stand. Exit 0
+    # only if the primary record actually landed; a hung/failed primary must
+    # read as a FAILURE (rc=1), not as a clean run with no output
+    # (ADVICE r4: os._exit(0) with nothing flushed was indistinguishable
+    # from success to the driver).
     def _watchdog():
-        _log(f"watchdog fired at {BUDGET_S:.0f}s budget; exiting 0 with "
+        rc = 0 if _EMITTED else 1
+        _log(f"watchdog fired at {BUDGET_S:.0f}s budget; exiting {rc} with "
              "whatever was flushed")
         sys.stdout.flush()
         sys.stderr.flush()
-        os._exit(0)
+        os._exit(rc)
 
     timer = threading.Timer(max(BUDGET_S - _elapsed() - 5.0, 1.0), _watchdog)
     timer.daemon = True
