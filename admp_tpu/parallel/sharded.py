@@ -103,7 +103,7 @@ def _pencil_weight_slice(cached_weight, dev, n_dev):
 def _sharded_recip_energy(positions, box, q_tot, grid_shape, kappa, lmax,
                           ck_fn, include_gamma, prefactor, axis_name, n_dev,
                           order: int = 6, spread_precision=None,
-                          cached=None):
+                          cached=None, cap_factor: float = 3.0):
     """Reciprocal-space energy: halo-exchange spreading + pencil FFT.
 
     Runs inside shard_map over ``axis_name``. Returns the (replicated) total.
@@ -120,7 +120,7 @@ def _sharded_recip_energy(positions, box, q_tot, grid_shape, kappa, lmax,
 
     slab, _overflow = sharded_spread_halo(
         positions, box, q_tot, grid_shape, lmax, axis_name, n_dev, order,
-        precision=spread_precision,
+        cap_factor=cap_factor, precision=spread_precision,
     )
 
     # transposed half-spectrum pencils (K1, K2/P, K3//2+1)
@@ -153,7 +153,7 @@ def _sharded_recip_energy(positions, box, q_tot, grid_shape, kappa, lmax,
 
 def _sharded_disp_recip_energy(positions, box, c_list, grid_shape, kappa,
                                ck_fns, axis_name, n_dev, order: int = 6,
-                               cached=None):
+                               cached=None, cap_factor: float = 3.0):
     """Multi-channel (C6/C8/C10) dispersion reciprocal energy: one shared
     halo-exchange spread, pencil FFT per channel, gamma point included
     (single-device counterpart: ops/reciprocal.make_disp_pme_recip)."""
@@ -164,7 +164,7 @@ def _sharded_disp_recip_energy(positions, box, c_list, grid_shape, kappa,
 
     slabs, _overflow = sharded_spread_halo_multi(
         positions, box, c_list[:, : len(ck_fns)], grid_shape, axis_name,
-        n_dev, order,
+        n_dev, order, cap_factor=cap_factor,
     )  # (C, K1/P, K2, K3)
 
     dtype = slabs.dtype
@@ -254,6 +254,7 @@ def _make_local_energy(axis_name, n_dev, grid_shape, kappa, lmax,
             positions, box, q_tot, grid_shape, kappa, lmax,
             ck_1, False, DIELECTRIC, axis_name, n_dev,
             spread_precision=config.spread_precision, cached=cached,
+            cap_factor=config.halo_cap_factor,
         )
         e_self = pme_self_energy(q_tot, kappa, lmax)
         if lpol:
@@ -309,6 +310,7 @@ def _make_local_uu_energy(axis_name, n_dev, grid_shape, kappa, covalent_map,
             positions, box, q_u, grid_shape, kappa, 1,
             ck_1, False, DIELECTRIC, axis_name, n_dev,
             spread_precision=config.spread_precision, cached=cached,
+            cap_factor=config.halo_cap_factor,
         )
         e = e_real + e_recip + pme_self_energy(q_u, kappa, 1)
         return e + polarization_penalty(u_cart, pol)
@@ -524,6 +526,7 @@ def make_sharded_disp_energy(
         e_recip = _sharded_disp_recip_energy(
             positions, box, c_list, grid_shape, kappa, ck_fns,
             axis_name, n_dev, spread_order, cached=cached,
+            cap_factor=config.halo_cap_factor,
         )
         e_self = dispersion_self_energy(c_list, kappa, pmax)
         return e_real + e_recip + e_self
