@@ -250,14 +250,36 @@ def _cell_candidates(positions, box, cutoff, n_cells, cell_capacity):
     )  # (ncell, 4*cap)
 
     stencil = jnp.asarray(_HALF_STENCIL)
-    my_cell = jnp.stack([cx, cy, cz], axis=-1)  # (n, 3)
-    neigh = my_cell[:, None, :] + stencil[None, :, :]
-    neigh_id = (
-        jnp.mod(neigh[..., 0], ncx) * ncy + jnp.mod(neigh[..., 1], ncy)
-    ) * ncz + jnp.mod(neigh[..., 2], ncz)  # (n, 14)
+    if CAND_METHOD == "cell":
+        # per-CELL neighborhood table: every atom of a cell shares the same
+        # 14 stencil rows, so gather them once per cell (14 * ncell rows)
+        # and hand each atom ONE wide row — ~14x fewer row-gather ops than
+        # the per-atom form (row gathers are per-ROW-op bound at ~10-14 ns,
+        # examples/nlrefresh_98k_tpu.out: the candidates stage was 38.6 ms
+        # of the 82 ms refresh at 98k)
+        cc = jnp.arange(ncx * ncy * ncz, dtype=jnp.int32)
+        ccx = cc // (ncy * ncz)
+        rem = cc % (ncy * ncz)
+        cell_xyz = jnp.stack([ccx, rem // ncz, rem % ncz], axis=-1)
+        neigh_c = cell_xyz[:, None, :] + stencil[None, :, :]
+        neigh_cid = (
+            jnp.mod(neigh_c[..., 0], ncx) * ncy
+            + jnp.mod(neigh_c[..., 1], ncy)
+        ) * ncz + jnp.mod(neigh_c[..., 2], ncz)  # (ncell, 14)
+        cell_rows = table[neigh_cid.reshape(-1)].reshape(
+            n_cell_total, -1
+        )  # (ncell, 14 * 4 * cap)
+        rows = cell_rows[cell_id]  # (n,) single wide rows
+        rows = rows.reshape(n, -1, 4, cell_capacity)
+    else:
+        my_cell = jnp.stack([cx, cy, cz], axis=-1)  # (n, 3)
+        neigh = my_cell[:, None, :] + stencil[None, :, :]
+        neigh_id = (
+            jnp.mod(neigh[..., 0], ncx) * ncy + jnp.mod(neigh[..., 1], ncy)
+        ) * ncz + jnp.mod(neigh[..., 2], ncz)  # (n, 14)
 
-    rows = table[neigh_id]  # (n, 14, 4*cap): the ONE heavy row gather
-    rows = rows.reshape(n, -1, 4, cell_capacity)
+        rows = table[neigh_id]  # (n, 14, 4*cap): the heavy row gather
+        rows = rows.reshape(n, -1, 4, cell_capacity)
     cand = rows[:, :, 0].astype(jnp.int32).reshape(n, -1)
     # component planes throughout (a trailing dim of 3 tile-pads ~42x on
     # TPU; (n, S) planes tile cleanly)
@@ -349,6 +371,15 @@ def _cell_count(positions, box, cutoff, n_cells, cell_capacity):
 # rc=4 has ~13 half-neighbors/atom mean, ~40 max; overflow is flagged)
 _ROW_K = 64
 
+# stage-1 row-compaction strategy: 'sort' (full row value sort) or 'topk'
+# (lax.top_k of the k_row smallest ids). Module-level for A/B probes; the
+# jitted _cell_pairs reads it at trace time.
+COMPACT_METHOD = "sort"
+
+# candidate-gather strategy: 'atom' (per-atom (n, 14)-row gather) or 'cell'
+# (per-cell neighborhood table + one wide row per atom). Read at trace time.
+CAND_METHOD = "atom"
+
 
 @partial(jax.jit, static_argnames=("n_cells", "cell_capacity", "capacity",
                                    "sort_i"))
@@ -380,9 +411,15 @@ def _cell_pairs(positions, box, cutoff, n_cells, cell_capacity, capacity,
     k_row = min(_ROW_K, S)
     n_found = jnp.sum(good)
     rowcnt = jnp.sum(good, axis=1).astype(jnp.int32)
-    # stage 1: partner ids, row-compacted by value sort (order within a row
-    # is irrelevant — pair lists are consumed as sets)
-    cj = jnp.sort(jnp.where(good, cand, n), axis=1)[:, :k_row]
+    # stage 1: partner ids, row-compacted by value order (order within a row
+    # is irrelevant — pair lists are consumed as sets). 'topk' keeps only
+    # the k_row smallest ids via lax.top_k on the negated slots (O(S*k) vs
+    # the full O(S log^2 S) row sort — A/B per examples/nlrefresh_98k_tpu)
+    if COMPACT_METHOD == "topk":
+        neg, _ = jax.lax.top_k(-jnp.where(good, cand, n), k_row)
+        cj = -neg
+    else:
+        cj = jnp.sort(jnp.where(good, cand, n), axis=1)[:, :k_row]
     # stage 2: offsets + segment-id expansion
     offs = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(rowcnt).astype(jnp.int32)]
