@@ -68,19 +68,20 @@ _QLW = 128        # stencil-table lane width: order^2 columns padded to one
 CAP_FACTOR = 1.25
 CAP_SIGMA = 8.0
 
-# atoms processed per spread-kernel loop iteration: 2 puts a PAIR of
-# independent one-hot combine chains in one predicated region for the VLIW
-# scheduler to interleave — the lever the round-4 roofline diagnosis names
-# (the forward spread runs AT its dependent-chain VPU bound). Measured
-# (examples/spreadilv_98k_tpu.out): the 2-D (large-grid) kernel WINS —
-# 98k/K=256 forward spread 50.6 -> 43.3 ms, spread e+g 86.3 -> 80.3 — while
-# the 1-D slab kernel LOSES at bench scale (3000-atom/K=128 forward
-# 8.6 -> 9.6 ms: small buckets pay the pair-region overhead without enough
-# atoms to amortize), so the default is split per kernel. Output is
-# bitwise-equal either way (same per-atom math and slab accumulation
-# order).
+# atoms processed per spread-kernel loop iteration: g independent one-hot
+# combine chains in one predicated region for the VLIW scheduler to
+# interleave — the lever the round-4 roofline diagnosis names (the forward
+# spread runs AT its dependent-chain VPU bound). Measured ladder
+# (examples/spreadilv_98k_tpu.out): the 2-D (large-grid) kernel improves
+# monotonically — 98k/K=256 forward spread 50.6 (g=1) -> 43.3 (2) -> 41.2
+# (3) -> 40.7 ms (4; round 5) — while the 1-D slab kernel LOST with 2 at
+# bench scale (3000-atom/K=128 forward 8.6 -> 9.6 ms: ~190-atom buckets pay
+# the extra predicated-region code without enough atoms to amortize; g=4
+# measured back at par, 8.44). Defaults are split per kernel. Output is
+# bitwise-equal for every g (same per-atom math and slab accumulation
+# order; tests/test_pallas.py covers all tail classes).
 SPREAD_INTERLEAVE_1D = 1
-SPREAD_INTERLEAVE_2D = 2
+SPREAD_INTERLEAVE_2D = 4
 
 # NOTE (measured NEUTRAL, round 4 — examples/spreadwide_98k_tpu.out): a
 # "wide" z-combine accumulating over l with order-fold fewer, wider

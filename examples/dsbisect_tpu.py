@@ -49,10 +49,19 @@ def main():
     from admp_tpu.io import load_mpid_system
 
     lines = [f"== x64={'on' if X64 else 'off'} =="]
+    mark = f"== x64={'on' if X64 else 'off'} =="
 
     def emit(msg):
         print(msg, flush=True)
         lines.append(str(msg))
+
+    def _flush():
+        # rewrite THIS x64 section in place (survive per-row timeouts)
+        old_txt = OUT.read_text() if OUT.exists() else ""
+        blocks = [b for b in old_txt.split("\n\n") if b.strip()
+                  and not b.startswith(mark)]
+        blocks.append("\n".join(lines))
+        OUT.write_text("\n\n".join(blocks) + "\n")
 
     sd = load_mpid_system(
         "/root/reference/examples/water_1024/water1024.pdb",
@@ -73,7 +82,7 @@ def main():
     )
     n_inner = 10
 
-    def measure(name, cfg):
+    def measure(name, cfg, use_drift=True):
         pme = ADMPPmeForce(
             box, sd.axis_types, sd.axis_indices, sd.covalent_map,
             4.0, 1e-4, lmax=2, config=cfg,
@@ -82,17 +91,16 @@ def main():
         pme.K1 = pme.K2 = pme.K3 = 128
         pme.refresh_calculators()
         vg = jax.value_and_grad(
-            lambda p: pme._jitted["energy"].__wrapped__(
-                p, box, pairs, ql, scales
-            )
-            if False else pme.energy_fn(p, box, pairs, ql, scales)
+            lambda p: pme.energy_fn(p, box, pairs, ql, scales)
         )
+
+        step_drift = drift if use_drift else jnp.zeros_like(drift)
 
         @jax.jit
         def loop(p):
             def body(p, _):
                 e, dp = vg(p)
-                return p + drift + 0.0 * dp, e
+                return p + step_drift + 0.0 * dp, e
             return jax.lax.scan(body, p, None, length=n_inner)
 
         out = loop(pos)
@@ -105,6 +113,7 @@ def main():
             ts.append(time.perf_counter() - t0)
         ms = float(np.median(ts) / n_inner * 1e3)
         emit(f"{name:44s} {ms:8.2f} ms/step")
+        _flush()
         return ms
 
     measure("ds+near2.5 (precision_tpu preset)",
@@ -115,10 +124,16 @@ def main():
             EngineConfig(recip_precision="ds"))
     measure("ds only + cache",
             EngineConfig(recip_precision="ds", cache_influence=True))
+    # the round-3 precision_tpu harness held positions CONSTANT across the
+    # scan (body: p + 0.0*f) — reproduce it to test whether the committed
+    # 40.9 ms DS row was a hoisted-loop artifact (the round-2 lesson:
+    # loop-invariant scan bodies get hoisted by XLA and time as ~3 ms)
+    measure("ds+near2.5 NO-DRIFT (old harness)",
+            EngineConfig.ds_accuracy(realspace_near_radius=2.5),
+            use_drift=False)
 
-    with OUT.open("a") as f:
-        f.write("\n".join(lines) + "\n\n")
-    emit(f"# appended to {OUT}")
+    _flush()
+    emit(f"# updated {OUT}")
 
 
 if __name__ == "__main__":

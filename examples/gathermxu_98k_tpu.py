@@ -55,17 +55,21 @@ def main():
     )
     emit(f"system: {n} atoms, grid {grid}")
 
-    # correctness gate on-device (small subset to keep the flat gather cheap)
-    sub = m_u0[:2048]
+    # correctness gate on-device: a RANDOM subset (the first 2048 lattice
+    # atoms are spatially concentrated and overflow the 8x8 buckets — the
+    # impl's overflow flag must be checked when calling it directly)
+    sub = m_u0[jnp.asarray(rng.choice(n, 2048, replace=False), jnp.int32)]
     ref = sp._flat_gather(sub, g_mesh, grid, 6)
     for name, fn in (
-        ("row-gather", lambda m: sp._row_gather_impl(m, g_mesh, grid, 6)),
+        ("row-gather", lambda m: (sp._row_gather_impl(m, g_mesh, grid, 6),
+                                  False)),
         ("win-onehot", lambda m: sp._pallas_gather2d_impl(
-            m, g_mesh, grid, 8, 8, order=6)[0]),
+            m, g_mesh, grid, 8, 8, order=6)),
         ("win-mxu", lambda m: sp._pallas_gather2d_impl(
-            m, g_mesh, grid, 8, 8, order=6, variant="mxu")[0]),
+            m, g_mesh, grid, 8, 8, order=6, variant="mxu")),
     ):
-        got = fn(sub)
+        got, ovf = fn(sub)
+        assert not bool(jnp.any(jnp.asarray(ovf))), f"{name} bucket overflow"
         d = float(jnp.max(jnp.abs(got - ref)))
         emit(f"gate {name}: max abs diff vs flat = {d:.3e}")
         assert d < 1e-6, name
@@ -99,6 +103,9 @@ def main():
     timeit("row-gather (production)",
            lambda m: sp._row_gather_impl(m, g_mesh, grid, 6))
     for nx, ny in ((8, 8), (16, 8)):
+        _, ovf = sp._pallas_gather2d_impl(m_u0, g_mesh, grid, nx, ny,
+                                          order=6)
+        assert not bool(ovf), f"({nx},{ny}) bucket overflow at 98k"
         timeit(f"windowed one-hot kernel ({nx}x{ny})",
                lambda m, nx=nx, ny=ny: sp._pallas_gather2d_impl(
                    m, g_mesh, grid, nx, ny, order=6)[0])

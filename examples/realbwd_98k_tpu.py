@@ -106,6 +106,7 @@ def main():
             ts.append(time.perf_counter() - t0)
         ms = float(np.median(ts) / n_inner * 1e3)
         emit(f"{name:56s} {ms:8.2f} ms")
+        OUT.write_text("\n".join(lines) + "\n")  # survive later crashes
         return ms
 
     # A: forward only, prebuilt tables (tables drift with p so nothing hoists)
@@ -210,7 +211,28 @@ def main():
         e, ct = jax.value_and_grad(f)(tbl)
         return e * 0.5 + jnp.sum(ct * ct)
 
-    timeit("C4 symmetrized 2C rows, slot-1-only backward", eg_c4)
+    # C4b: lower BOUND for any symmetrized formulation — the kernel e+g
+    # alone on 2C rows (no gathers, no transposes). If this already exceeds
+    # C1, doubling the rows can never win regardless of transpose savings.
+    gi2 = jnp.concatenate([g_i0, g_j0], axis=0)
+    gj2 = jnp.concatenate([g_j0, g_i0], axis=0)
+    scl2b = jnp.concatenate([scl, scl], axis=1)
+
+    def eg_tables2(p):
+        def f(gi, gj):
+            return jnp.sum(pair_perm_energies(gi, gj, scl2b, scal, 2))
+        gi = gi2.at[:, 0].add(p[0, 0] * 1e-6)
+        gj = gj2.at[:, 0].add(p[0, 0] * 1e-6)
+        e, (ci, cj) = jax.value_and_grad(f, argnums=(0, 1))(gi, gj)
+        return e + jnp.sum(ci * ci) + jnp.sum(cj * cj)
+
+    timeit("C4b kernel e+g on 2C rows (symmetrized lower bound)", eg_tables2)
+
+    try:
+        timeit("C4 symmetrized 2C rows, slot-1-only backward", eg_c4)
+    except Exception as exc:  # noqa: BLE001 - compile-helper crash observed
+        emit(f"C4 symmetrized full graph: FAILED ({type(exc).__name__}: "
+             f"{str(exc).splitlines()[0][:120]})")
 
     OUT.write_text("\n".join(lines) + "\n")
     emit(f"# wrote {OUT}")
