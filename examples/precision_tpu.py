@@ -125,12 +125,23 @@ def main():
             grad_step = jax.value_and_grad(
                 lambda p: force.get_energy(p, box_d, pairs_d, q_d, m_d)
             )
+            # positions MUST drift per step: a loop-invariant body lets XLA
+            # hoist per-step work out of the scan and the timing silently
+            # amortizes one real evaluation over n_inner (the round-2
+            # hoisted-loop trap; the round-3 DS timing rows of this artifact
+            # carried it -- see examples/dsbisect_tpu.out / ROADMAP round 5).
+            # Accuracy rows are unaffected (step-0 values). The drift is
+            # 5e-4 A: far below any accuracy-visible scale.
+            drift_d = jnp.asarray(
+                5e-4 * np.random.default_rng(7).standard_normal(pos32.shape),
+                pos_d.dtype,
+            )
 
             @jax.jit
             def multi(p):
                 def body(pp, _):
                     e, f = grad_step(pp)
-                    return pp + 0.0 * f, (e, f)
+                    return pp + drift_d + 0.0 * f, (e, f)
                 return jax.lax.scan(body, p, None, length=n_inner)
 
             try:
