@@ -377,8 +377,12 @@ _ROW_K = 64
 COMPACT_METHOD = "sort"
 
 # candidate-gather strategy: 'atom' (per-atom (n, 14)-row gather) or 'cell'
-# (per-cell neighborhood table + one wide row per atom). Read at trace time.
-CAND_METHOD = "atom"
+# (per-cell neighborhood table + one wide row per atom — 14x fewer
+# row-gather ops). Read at trace time. Measured at 98k/rc=4 (TPU,
+# examples/nlrefresh_98k_tpu.out): candidates 41.3 -> 25.9 ms, full jitted
+# refresh 86.9 -> 77.1 (sorted) / 74.8 -> 64.2 ms (unsorted); identical
+# pair lists (CPU equality test).
+CAND_METHOD = "cell"
 
 
 @partial(jax.jit, static_argnames=("n_cells", "cell_capacity", "capacity",

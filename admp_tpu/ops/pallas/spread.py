@@ -74,13 +74,13 @@ CAP_SIGMA = 8.0
 # spread runs AT its dependent-chain VPU bound). Measured ladder
 # (examples/spreadilv_98k_tpu.out): the 2-D (large-grid) kernel improves
 # monotonically — 98k/K=256 forward spread 50.6 (g=1) -> 43.3 (2) -> 41.2
-# (3) -> 40.7 ms (4; round 5) — while the 1-D slab kernel LOST with 2 at
-# bench scale (3000-atom/K=128 forward 8.6 -> 9.6 ms: ~190-atom buckets pay
-# the extra predicated-region code without enough atoms to amortize; g=4
-# measured back at par, 8.44). Defaults are split per kernel. Output is
-# bitwise-equal for every g (same per-atom math and slab accumulation
-# order; tests/test_pallas.py covers all tail classes).
-SPREAD_INTERLEAVE_1D = 1
+# (3) -> 40.7 ms (4; round 5). The 1-D kernel LOST with the round-4
+# two-region g=2 form (8.6 -> 9.6 ms at 3000 atoms) but WINS with the
+# generalized 4-way grouping (same-session A/B: 9.22 (g=1) vs 8.65 (g=4))
+# — the g=2 loss was that specific structure, not interleaving itself.
+# Output is bitwise-equal for every g (same per-atom math and slab
+# accumulation order; tests/test_pallas.py covers all tail classes).
+SPREAD_INTERLEAVE_1D = 4
 SPREAD_INTERLEAVE_2D = 4
 
 # NOTE (measured NEUTRAL, round 4 — examples/spreadwide_98k_tpu.out): a
@@ -963,8 +963,18 @@ def _make_gather_kernel_mxu(order: int, n_ch: int):
         lo = jnp.asarray(0, jnp.int32)
         hi = jnp.asarray(a_max, jnp.int32)
 
-        z_iota = jax.lax.broadcasted_iota(jnp.int32, (_ZW, order), 0)
-        l_iota = jax.lax.broadcasted_iota(jnp.int32, (_ZW, order), 1)
+        # Alignment constraints discovered on device (committed negative
+        # evidence for VERDICT r4 item 6): a (order, order, _ZW) window at
+        # dynamic sublane start y0 does NOT lower ("cannot statically prove
+        # that index in dimension 3 is a multiple of 8"), and a dot with a
+        # sub-tile (order-lane) output crashes the compile helper. This
+        # variant therefore loads the ALIGNED (order, _YW, _ZW) window, runs
+        # ONE MXU z-contraction against a 128-lane-padded one-hot selector,
+        # and y-un-places on the narrow (order, _YW, order) result with
+        # cheap one-hot picks.
+        z_iota = jax.lax.broadcasted_iota(jnp.int32, (_ZW, 128), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (_ZW, 128), 1)
+        y_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _YW, 1), 1)
 
         def body(k, _):
             @pl.when(k < count)
@@ -972,25 +982,35 @@ def _make_gather_kernel_mxu(order: int, n_ch: int):
                 x0 = m_u0_ref[0, k, 0]
                 y0 = m_u0_ref[0, k, 1]
                 z0 = m_u0_ref[0, k, 2]
+                eight = jnp.asarray(8, jnp.int32)
                 o28 = jnp.asarray(128, jnp.int32)
+                yb = jax.lax.div(y0, eight) * eight
                 zb = jax.lax.div(z0, o28) * o28
+                yo = y0 - yb
                 zo = z0 - zb
+                yb = pl.multiple_of(yb, 8)
                 zb = pl.multiple_of(zb, 128)
-                sel = (z_iota == zo + l_iota).astype(out_ref.dtype)
+                sel = jnp.logical_and(
+                    z_iota == zo + l_iota, l_iota < order
+                ).astype(out_ref.dtype)
                 chans = []
                 for c in range(n_ch):
                     cur = g_ref[
-                        0, c, pl.ds(x0, order), pl.ds(y0, order),
+                        0, c, pl.ds(x0, order), pl.ds(yb, _YW),
                         pl.ds(zb, _ZW),
-                    ]  # (order, order, _ZW), unaligned sublane start
+                    ]  # (order, _YW, _ZW), aligned
                     mm = jax.lax.dot_general(
-                        cur.reshape(order * order, _ZW), sel,
+                        cur.reshape(order * _YW, _ZW), sel,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )  # (order^2, order): [(x, y), l]
-                    # (x*order+y, l) -> (x, y*order+l): matches the one-hot
-                    # kernel's (order, order^2) row layout
-                    chans.append(mm.reshape(order, order * order))
+                    ).reshape(order, _YW, 128)  # z picked; y not yet
+                    cols = []
+                    for j in range(order):
+                        pick = (y_iota == yo + j).astype(mm.dtype)
+                        row_j = jnp.sum(mm * pick, axis=1)  # (order, 128)
+                        for l in range(order):
+                            cols.append(row_j[:, l])
+                    chans.append(jnp.stack(cols, axis=-1))
                 out_ref[0, k] = jnp.concatenate(chans, axis=0)
             return jnp.asarray(0, jnp.int32)
 

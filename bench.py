@@ -69,6 +69,31 @@ def _emit(record):
     _EMITTED = True
 
 
+
+def _build_pairs_on_cpu(positions, box, rc):
+    """Neighbor-list allocation on the host CPU backend: the list is tiny
+    and deterministic, while building it on the TPU costs 2-4 min of
+    remote-compile tunnel before the first timed step (ROADMAP round-4
+    next-step 5). Falls back to the default device on any failure."""
+    import numpy as _np
+
+    import jax
+
+    from admp_tpu.ops.neighborlist import neighbor_list_cell
+
+    try:
+        jax.devices()  # init the accelerator FIRST (CLAUDE.md: mixed
+        # CPU+TPU backend discovery breaks the other way around)
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            return neighbor_list_cell(
+                _np.asarray(positions), _np.asarray(box), rc
+            )
+    except Exception as exc:  # noqa: BLE001 - never lose the bench to this
+        _log(f"CPU neighbor-list build failed ({exc!r}); using default device")
+        return neighbor_list_cell(positions, box, rc)
+
+
 def build_pol_workload():
     """Polarizable PME step, warm-started SCF threaded through an MD-style
     scan (reference driver: examples/water_pol_1024/run_admp.py:134-139)."""
@@ -84,7 +109,7 @@ def build_pol_workload():
     n = positions.shape[0]
 
     rc, ethresh = 4.0, 1e-4
-    nlist = neighbor_list_cell(positions, box, rc)
+    nlist = _build_pairs_on_cpu(positions, box, rc)
     pairs = jnp.asarray(nlist.pairs)
 
     q_local = convert_cart2harm(jnp.asarray(sysd["q_cart"]), 2)
@@ -208,7 +233,7 @@ def build_nonpol_workload():
     import jax.numpy as jnp
 
     rc, ethresh = 4.0, 1e-4
-    nlist = neighbor_list_cell(positions, box, rc)
+    nlist = _build_pairs_on_cpu(positions, box, rc)
     pairs = jnp.asarray(nlist.pairs)
 
     box_j = jnp.asarray(box)
