@@ -132,6 +132,41 @@ def main():
             EngineConfig.ds_accuracy(realspace_near_radius=2.5),
             use_drift=False)
 
+    # Scan-free cross-check: time PER-DISPATCH python calls (median of 10)
+    # minus a measured trivial-dispatch floor — harness-unambiguous (no
+    # scan, nothing to hoist). If this agrees with the scan-timed rows, the
+    # scan numbers are honest.
+    pme = ADMPPmeForce(
+        box, sd.axis_types, sd.axis_indices, sd.covalent_map,
+        4.0, 1e-4, lmax=2,
+        config=EngineConfig.ds_accuracy(realspace_near_radius=2.5),
+    )
+    pme.kappa = 0.657065221219616
+    pme.K1 = pme.K2 = pme.K3 = 128
+    pme.refresh_calculators()
+    vg = jax.jit(jax.value_and_grad(
+        lambda p: pme.energy_fn(p, box, pairs, ql, scales)
+    ))
+    triv = jax.jit(lambda p: p + 1.0)
+    jax.block_until_ready(triv(pos))
+    t_f = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        jax.block_until_ready(triv(pos))
+        t_f.append(time.perf_counter() - t0)
+    floor_ms = float(np.median(t_f) * 1e3)
+    jax.block_until_ready(vg(pos))
+    t_c = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        jax.block_until_ready(vg(pos))
+        t_c.append(time.perf_counter() - t0)
+    call_ms = float(np.median(t_c) * 1e3)
+    emit(f"{'ds+near2.5 per-dispatch (floor-subtracted)':44s} "
+         f"{call_ms - floor_ms:8.2f} ms/step  "
+         f"(call {call_ms:.2f}, dispatch floor {floor_ms:.2f})")
+    _flush()
+
     _flush()
     emit(f"# updated {OUT}")
 

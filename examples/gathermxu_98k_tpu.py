@@ -102,10 +102,21 @@ def main():
 
     timeit("row-gather (production)",
            lambda m: sp._row_gather_impl(m, g_mesh, grid, 6))
+    # FULL-shape correctness gates: a degenerate executable from a corrupted
+    # remote compile times ~0 ms and is only catchable by checking the
+    # timed shape's OUTPUT (observed twice this round after compile-helper
+    # crashes). row-gather is bitwise-equal to the flat gather by
+    # construction, so it serves as the 98k oracle.
+    ref_full = sp._row_gather_impl(m_u0, g_mesh, grid, 6)
     for nx, ny in ((8, 8), (16, 8)):
-        _, ovf = sp._pallas_gather2d_impl(m_u0, g_mesh, grid, nx, ny,
-                                          order=6)
-        assert not bool(ovf), f"({nx},{ny}) bucket overflow at 98k"
+        for variant in ("onehot", "mxu"):
+            got, ovf = sp._pallas_gather2d_impl(
+                m_u0, g_mesh, grid, nx, ny, order=6, variant=variant
+            )
+            assert not bool(ovf), f"({nx},{ny}) bucket overflow at 98k"
+            d = float(jnp.max(jnp.abs(got - ref_full)))
+            emit(f"98k gate {variant} ({nx}x{ny}): max abs diff {d:.3e}")
+            assert d < 1e-6, f"{variant} ({nx},{ny}) WRONG at 98k shape"
         timeit(f"windowed one-hot kernel ({nx}x{ny})",
                lambda m, nx=nx, ny=ny: sp._pallas_gather2d_impl(
                    m, g_mesh, grid, nx, ny, order=6)[0])

@@ -214,15 +214,17 @@ def main():
     # C4b: lower BOUND for any symmetrized formulation — the kernel e+g
     # alone on 2C rows (no gathers, no transposes). If this already exceeds
     # C1, doubling the rows can never win regardless of transpose savings.
-    gi2 = jnp.concatenate([g_i0, g_j0], axis=0)
-    gj2 = jnp.concatenate([g_j0, g_i0], axis=0)
-    scl2b = jnp.concatenate([scl, scl], axis=1)
-
     def eg_tables2(p):
+        # 2C tables built IN-GRAPH from the C-row constants: closing over
+        # the concatenated 354 MB arrays embeds them in the MLIR payload and
+        # the remote-compile tunnel rejects it (HTTP 413)
         def f(gi, gj):
+            scl2b = jnp.concatenate([scl, scl], axis=1)
             return jnp.sum(pair_perm_energies(gi, gj, scl2b, scal, 2))
-        gi = gi2.at[:, 0].add(p[0, 0] * 1e-6)
-        gj = gj2.at[:, 0].add(p[0, 0] * 1e-6)
+        gi1 = g_i0.at[:, 0].add(p[0, 0] * 1e-6)
+        gj1 = g_j0.at[:, 0].add(p[0, 0] * 1e-6)
+        gi = jnp.concatenate([gi1, gj1], axis=0)
+        gj = jnp.concatenate([gj1, gi1], axis=0)
         e, (ci, cj) = jax.value_and_grad(f, argnums=(0, 1))(gi, gj)
         return e + jnp.sum(ci * ci) + jnp.sum(cj * cj)
 
